@@ -1,0 +1,158 @@
+"""Transactional table layer — the sandbox stand-in for Iceberg.
+
+The north rule calls for Iceberg frontier/seen/ledger tables with one atomic
+commit per crawl round (the resume anchor, mirroring the reference's
+lock-server job-reassignment path, Server/LockServer/lockServer.go:114-197).
+The Iceberg runtime jar is not available in this container, so this module
+provides the same two commit primitives with plain parquet + atomic manifest
+renames (`os.replace`); swapping to real Iceberg on a cluster replaces each
+class body with `writeTo(...).append()` / MERGE inside one transaction while
+every caller stays unchanged:
+
+* ``JobStateStore`` — per-crawl-job round log. Each round directory holds
+  parquet deltas (seen, metrics), a full snapshot of the (small) pending
+  frontier, and touched Bloom-filter bucket blobs; the round becomes visible
+  only when ``commit.json`` lands via atomic rename. Untouched Bloom buckets
+  are inherited by manifest reference, never copied (what Iceberg does with
+  unchanged data files across snapshots).
+* ``AtomicTable`` — tiny versioned table (job ledger, job cache, robots
+  cache): write new version dir, flip a CURRENT pointer file atomically.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+from typing import Dict, List, Optional
+
+
+def _atomic_write(path: str, data: bytes) -> None:
+    d = os.path.dirname(path)
+    os.makedirs(d, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=d, prefix=".tmp_")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            f.write(data)
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+
+
+class JobStateStore:
+    """Round-committed crawl state for one job (SURVEY.md §3.1 Spark
+    lifecycle: one transaction boundary per round = the resume point)."""
+
+    def __init__(self, warehouse: str, job_id: str):
+        self.dir = os.path.join(warehouse, "jobs", job_id)
+        os.makedirs(self.dir, exist_ok=True)
+
+    # ---------------------------------------------------------- layout
+    def round_dir(self, r: int) -> str:
+        return os.path.join(self.dir, f"r{r:05d}")
+
+    def _commit_path(self, r: int) -> str:
+        return os.path.join(self.round_dir(r), "commit.json")
+
+    def seen_delta_path(self, r: int) -> str:
+        return os.path.join(self.round_dir(r), "seen_delta")
+
+    def frontier_path(self, r: int) -> str:
+        return os.path.join(self.round_dir(r), "frontier")
+
+    def metrics_path(self, r: int) -> str:
+        return os.path.join(self.round_dir(r), "metrics")
+
+    def bloom_blob_path(self, r: int, bucket: int) -> str:
+        return os.path.join(self.round_dir(r), "blooms", f"bucket_{bucket:05d}.bin")
+
+    # ---------------------------------------------------------- commits
+    def last_committed(self) -> Optional[int]:
+        best = None
+        if not os.path.isdir(self.dir):
+            return None
+        for name in os.listdir(self.dir):
+            if name.startswith("r") and os.path.exists(self._commit_path(int(name[1:]))):
+                r = int(name[1:])
+                best = r if best is None or r > best else best
+        return best
+
+    def read_commit(self, r: int) -> dict:
+        with open(self._commit_path(r)) as f:
+            return json.load(f)
+
+    def commit_round(self, r: int, info: dict, touched_blooms: Optional[List[int]] = None) -> None:
+        """Atomically publish round r. `info` must carry the loop state
+        needed for resume (depth, sub_round, pending count, done flag).
+        Bloom manifest: bucket -> round whose blob is current."""
+        prev = self.last_committed()
+        manifest: Dict[str, int] = {}
+        if prev is not None:
+            manifest = self.read_commit(prev).get("bloom_manifest", {})
+        for b in touched_blooms or []:
+            manifest[str(b)] = r
+        info = dict(info)
+        info["round"] = r
+        info["bloom_manifest"] = manifest
+        _atomic_write(self._commit_path(r), json.dumps(info).encode())
+
+    def abort_round(self, r: int) -> None:
+        """Drop an uncommitted round dir (crash cleanup on resume)."""
+        if not os.path.exists(self._commit_path(r)) and os.path.isdir(self.round_dir(r)):
+            shutil.rmtree(self.round_dir(r))
+
+    # ---------------------------------------------------------- readers
+    def committed_rounds(self) -> List[int]:
+        last = self.last_committed()
+        return [] if last is None else [r for r in range(last + 1) if os.path.exists(self._commit_path(r))]
+
+    def seen_paths(self, upto: Optional[int] = None) -> List[str]:
+        rounds = self.committed_rounds()
+        if upto is not None:
+            rounds = [r for r in rounds if r <= upto]
+        return [self.seen_delta_path(r) for r in rounds if os.path.isdir(self.seen_delta_path(r))]
+
+    def metrics_paths(self) -> List[str]:
+        return [self.metrics_path(r) for r in self.committed_rounds() if os.path.isdir(self.metrics_path(r))]
+
+    def bloom_blobs(self, r: Optional[int] = None) -> Dict[int, str]:
+        """bucket -> blob file path as of committed round r (default: last)."""
+        r = self.last_committed() if r is None else r
+        if r is None:
+            return {}
+        manifest = self.read_commit(r).get("bloom_manifest", {})
+        return {int(b): self.bloom_blob_path(rr, int(b)) for b, rr in manifest.items()}
+
+
+class AtomicTable:
+    """Versioned single-parquet table with an atomic CURRENT pointer.
+
+    Used for the job ledger (D7), job cache (D6) and robots cache — tables
+    whose updates are read-modify-write MERGEs at tiny cardinality (one row
+    per job / host). On a cluster this is an Iceberg MERGE INTO."""
+
+    def __init__(self, warehouse: str, name: str):
+        self.dir = os.path.join(warehouse, name)
+        os.makedirs(self.dir, exist_ok=True)
+        self._current = os.path.join(self.dir, "CURRENT")
+
+    def current_version(self) -> Optional[int]:
+        try:
+            with open(self._current) as f:
+                return int(f.read().strip())
+        except FileNotFoundError:
+            return None
+
+    def current_path(self) -> Optional[str]:
+        v = self.current_version()
+        return None if v is None else os.path.join(self.dir, f"v{v:06d}")
+
+    def new_version_path(self) -> str:
+        v = (self.current_version() or 0) + 1
+        return os.path.join(self.dir, f"v{v:06d}")
+
+    def publish(self, path: str) -> None:
+        v = int(os.path.basename(path)[1:])
+        _atomic_write(self._current, str(v).encode())

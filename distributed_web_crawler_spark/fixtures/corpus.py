@@ -1,0 +1,272 @@
+"""Deterministic synthetic corpus — the "web" both the oracle crawler and
+the Spark engine crawl (FIXTURES.md §1).
+
+One row per crawlable page: an image+caption pair with schema per
+BASELINE.json ``input_hint``::
+
+    (image_id string, bytes binary, w int, h int, fmt string,
+     caption string, phash bigint)
+
+Everything is a pure function of ``(seed, i)`` — no wall clock, no
+randomness beyond the seeded PCG64 pixel stream. The link graph reproduces
+the reference crawler's extraction semantics (see reference
+Server/Cluster/Functionality/Crawling.go:11,21,26,38-47 and
+Server/Cluster/Worker/worker.go:153):
+
+* per-page dedup of hrefs          (Crawling.go:21,39  → U1)
+* dead-link validity filter        (Utils/utils.go:8-11 → F2): targets
+  outside [0, N) are dropped at extraction time (~9% dangling)
+* 1000-token parse cap → EMPTY list on oversized pages (Crawling.go:47 → F1
+  quirk): pages with xxh64(f"{seed}:big:{i}") % 50 == 0
+* fetch error → empty result       (worker.go:153): pages with
+  xxh64(f"{seed}:err:{i}") % 97 == 0
+
+The image codec is a deterministic stand-in (no PIL/libjpeg in this
+container — the real decode path is gated behind an import-try in
+functions/images.py): "png" is zlib-lossless, "jpeg" quantizes to step 4
+(PSNR ≈ 46 dB, exercising the lossy PSNR≥40 dB verification path for ~1/3
+of rows). ``phash`` is an 8×8-DCT aHash computed over the DECODED pixels at
+generation time, so the per-row invariant ``phash(decode(bytes)) == phash``
+holds exactly for both lossless and lossy rows.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+from dataclasses import dataclass
+from typing import Iterator, List
+
+import numpy as np
+
+from ..functions.xxh64 import xxh64
+
+SEED_DEFAULT = 42
+N_HOSTS = 64  # H in FIXTURES.md
+OVERSIZED_MOD = 50  # 1-in-50 pages hit the 1000-token cap → empty links
+FETCH_ERR_MOD = 97  # 1-in-97 pages fail fetch → empty links
+MAX_OUT_DEGREE = 9  # out-degree in 0..8
+DANGLING_FACTOR = 11  # targets drawn from [0, N*11//10) → ~9% dangling
+N_BUCKETS = 16  # corpus storage partitions: bucket(i) = i % N_BUCKETS
+
+_VOCAB = [
+    "amber", "basalt", "cedar", "delta", "ember", "fjord", "garnet", "harbor",
+    "indigo", "juniper", "krill", "lagoon", "marble", "nectar", "onyx", "prism",
+    "quartz", "raven", "sierra", "tundra", "umber", "vortex", "willow", "xenon",
+    "yonder", "zephyr", "anchor", "breeze", "copper", "dune", "echo", "flint",
+    "grove", "haze", "isle", "jade", "kelp", "lichen", "mesa", "north",
+    "opal", "pine", "quill", "reef", "slate", "thorn", "ultra", "vale",
+    "wharf", "xylem", "yarrow", "zinc", "arc", "bluff", "crest", "drift",
+    "eddy", "fern", "gale", "heath", "inlet", "jetty", "knoll", "loch",
+]
+assert len(_VOCAB) == 64
+
+
+@dataclass(frozen=True)
+class CorpusSpec:
+    """Parameters of one synthetic corpus. Pure value object."""
+
+    n: int
+    seed: int = SEED_DEFAULT
+    n_hosts: int = N_HOSTS
+
+    @property
+    def target_space(self) -> int:
+        return self.n * DANGLING_FACTOR // 10
+
+
+# ---------------------------------------------------------------- identity
+
+def image_id(i: int) -> str:
+    return f"img{i:08d}"
+
+
+def page_index(image_id_: str) -> int:
+    return int(image_id_[3:])
+
+
+def host_of(i: int, spec: CorpusSpec) -> int:
+    """Host assignment; every 10th page remaps to host 0 → deterministic
+    mega-host for skew/salting tests (FIXTURES.md §1)."""
+    if i % 10 == 0:
+        return 0
+    return xxh64(f"{spec.seed}:host:{i}") % spec.n_hosts
+
+
+def host_name(h: int) -> str:
+    return f"h{h:04d}.test"
+
+
+def url_of(i: int, spec: CorpusSpec) -> str:
+    return f"http://{host_name(host_of(i, spec))}/p/{i}"
+
+
+def index_of_url(url: str) -> int:
+    """Inverse of url_of (bijective; host is derivable from i)."""
+    return int(url.rsplit("/", 1)[1])
+
+
+def host_of_url(url: str) -> str:
+    # http://h0001.test/p/123 -> h0001.test
+    return url.split("//", 1)[1].split("/", 1)[0]
+
+
+# ---------------------------------------------------------------- link rule
+
+def is_oversized(i: int, spec: CorpusSpec) -> bool:
+    """Reference quirk F1: >1000 tokens ⇒ extraction returns EMPTY
+    (Crawling.go:11,26,47)."""
+    return xxh64(f"{spec.seed}:big:{i}") % OVERSIZED_MOD == 0
+
+
+def is_fetch_error(i: int, spec: CorpusSpec) -> bool:
+    """Reference quirk: fetch failure ⇒ worker reports empty URL list
+    (worker.go:153)."""
+    return xxh64(f"{spec.seed}:err:{i}") % FETCH_ERR_MOD == 0
+
+
+def out_degree(i: int, spec: CorpusSpec) -> int:
+    return xxh64(f"{spec.seed}:deg:{i}") % MAX_OUT_DEGREE
+
+
+def out_links(i: int, spec: CorpusSpec) -> List[int]:
+    """Extracted+validated link targets of page i, in extraction order.
+
+    Applies the oversized/fetch-error quirks, per-page dedup (U1) and the
+    dead-link validity filter (F2). Returns page indices (map to URLs via
+    url_of)."""
+    if is_oversized(i, spec) or is_fetch_error(i, spec):
+        return []
+    seen = set()
+    out: List[int] = []
+    space = spec.target_space
+    for k in range(out_degree(i, spec)):
+        t = xxh64(f"{spec.seed}:lnk:{i}:{k}") % space
+        if t < spec.n and t not in seen:  # F2 validity + U1 dedup
+            seen.add(t)
+            out.append(t)
+    return out
+
+
+# ---------------------------------------------------------------- payload
+
+def dims_of(i: int) -> tuple[int, int]:
+    w = 16 + (i % 4) * 16
+    h = 16 + ((i // 4) % 4) * 16
+    return w, h
+
+
+def fmt_of(i: int) -> str:
+    return "png" if i % 3 else "jpeg"
+
+
+def raw_pixels(i: int, spec: CorpusSpec) -> np.ndarray:
+    w, h = dims_of(i)
+    rng = np.random.Generator(np.random.PCG64(spec.seed * 10_000_019 + i))
+    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+def encode_image(arr: np.ndarray, fmt: str) -> bytes:
+    """Deterministic fake codec. Header: 4-byte magic + uint16 w,h (LE)."""
+    h, w, _ = arr.shape
+    hdr = (b"FPNG" if fmt == "png" else b"FJPG") + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    if fmt == "png":
+        payload = arr.tobytes()
+    else:  # lossy: quantize to step 4 (error in [-1, 2] ⇒ PSNR ≈ 46 dB)
+        q = (arr.astype(np.uint16) // 4 * 4 + 1).clip(0, 255).astype(np.uint8)
+        payload = q.tobytes()
+    return hdr + zlib.compress(payload, level=1)
+
+
+def decode_image(data: bytes) -> tuple[np.ndarray, str]:
+    """Decode fake-codec bytes → (h,w,3) uint8 array + fmt string."""
+    magic = data[:4]
+    fmt = "png" if magic == b"FPNG" else "jpeg"
+    w = int.from_bytes(data[4:6], "little")
+    h = int.from_bytes(data[6:8], "little")
+    arr = np.frombuffer(zlib.decompress(data[8:]), dtype=np.uint8).reshape(h, w, 3)
+    return arr, fmt
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    if mse == 0:
+        return float("inf")
+    return float(10.0 * np.log10(255.0 * 255.0 / mse))
+
+
+_DCT32 = None
+
+
+def _dct_matrix(n: int) -> np.ndarray:
+    k = np.arange(n)[:, None]
+    x = np.arange(n)[None, :]
+    m = np.cos(np.pi * (2 * x + 1) * k / (2 * n)) * np.sqrt(2.0 / n)
+    m[0] /= np.sqrt(2.0)
+    return m
+
+
+def phash64(arr: np.ndarray) -> int:
+    """8×8-DCT average hash: gray → 32×32 nearest-neighbor resize → DCT-II →
+    top-left 8×8 coefficients thresholded at their median → 64 bits
+    (signed int64, parquet-friendly)."""
+    global _DCT32
+    if _DCT32 is None:
+        _DCT32 = _dct_matrix(32)
+    gray = arr.astype(np.float64).mean(axis=2)
+    h, w = gray.shape
+    yi = (np.arange(32) * h // 32).astype(np.intp)
+    xi = (np.arange(32) * w // 32).astype(np.intp)
+    small = gray[np.ix_(yi, xi)]
+    coef = _DCT32 @ small @ _DCT32.T
+    block = coef[:8, :8].ravel()
+    med = np.median(block)
+    bits = 0
+    for b in (block > med).astype(np.uint64):
+        bits = (bits << 1) | int(b)
+    return bits - (1 << 64) if bits >= (1 << 63) else bits
+
+
+def caption_of(i: int, spec: CorpusSpec) -> str:
+    dg = hashlib.sha256(f"{spec.seed}:{i}".encode()).digest()
+    words = " ".join(_VOCAB[dg[k] % 64] for k in range(8))
+    return f"caption of {image_id(i)}: {words}"
+
+
+def bucket_of(i: int) -> int:
+    """Storage partition of page i — corpus parquet is partitioned by this
+    so a round's fetch join prunes to only the buckets it touches (the
+    sandbox analog of Iceberg bucket(image_id) partitioning)."""
+    return i % N_BUCKETS
+
+
+# ---------------------------------------------------------------- row gen
+
+def make_row(i: int, spec: CorpusSpec, with_bytes: bool = True) -> dict:
+    w, h = dims_of(i)
+    fmt = fmt_of(i)
+    row = {
+        "image_id": image_id(i),
+        "w": w,
+        "h": h,
+        "fmt": fmt,
+        "caption": caption_of(i, spec),
+        "bucket": bucket_of(i),
+    }
+    if with_bytes:
+        raw = raw_pixels(i, spec)
+        data = encode_image(raw, fmt)
+        dec, _ = decode_image(data)
+        row["bytes"] = data
+        row["phash"] = phash64(dec)  # phash of DECODED pixels — invariant-exact
+    return row
+
+
+def generate_batches(indices: np.ndarray, spec: CorpusSpec, batch: int = 2048) -> Iterator["object"]:
+    """Yield pandas DataFrames of corpus rows for the given page indices —
+    shared by the Spark mapInPandas generator and local writers."""
+    import pandas as pd
+
+    for lo in range(0, len(indices), batch):
+        chunk = indices[lo : lo + batch]
+        yield pd.DataFrame([make_row(int(i), spec) for i in chunk])

@@ -1,0 +1,400 @@
+"""FrontierEngine — the BFS round loop (SURVEY.md §3.1 "Spark lifecycle").
+
+This is the Spark-first re-expression of the reference master's drain loop
+(Server/Cluster/Master/master.go:270-299, 620-686): the per-depth task maps
+become a frontier table, the worker RPC fan-out becomes one vectorized
+fetch-join + extraction stage per sub-round, the mutex-guarded visited maps
+become a partitioned Bloom-filtered seen table probed by anti-join, and the
+depth barrier becomes the natural action barrier between rounds. One atomic
+commit per sub-round (catalog/tables.py) is the resume anchor — strictly
+better than the reference's from-scratch job reassignment
+(lockServer.go:174-197; master.go:449), with identical final state because
+rounds are deterministic.
+
+Scale shape per round (what survives 1000 executors × 100 TB):
+
+* fetch: `broadcast(admitted) ⋈ corpus` with the corpus scan pruned to the
+  storage buckets the round touches — never a full corpus scan, and the
+  binary `bytes` column is only read by the optional payload-verify stage
+  (column pruning, SURVEY.md §7 risk (e)).
+* dedup: Bloom probe partition-wise by seen-bucket (no broadcast of blobs),
+  exact anti-join only on Bloom positives against the bucket-pruned seen
+  parquet. False positives re-check exactly; URLs are never lost.
+* politeness window: one shuffle by host, budgets data-determined so
+  local[8] and local[32] produce identical admissions.
+* every count the driver needs is taken from DataFrames it is about to
+  write anyway; nothing else is collected.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..catalog.tables import JobStateStore
+from ..fixtures import corpus as C
+from ..functions import bloom as B
+from ..functions import urls as U
+from ..functions.images import verify_payloads
+from ..operators.extract import extract_links
+from ..operators.politeness import admit
+from ..operators.robots import blocked_expr
+from ..oracle.crawler import PolitenessPolicy, RobotsPolicy
+
+FRONTIER_SCHEMA = "url string, host string, url_hash bigint, seen_bucket int, depth int"
+SEEN_COLS = ["url_hash", "url", "depth", "seen_bucket"]
+
+
+@dataclass
+class EngineConfig:
+    politeness: Optional[PolitenessPolicy] = None
+    robots: Optional[RobotsPolicy] = None
+    use_bloom: bool = True
+    seen_buckets: int = 64
+    bloom: B.BloomParams = field(default_factory=B.BloomParams)
+    verify_payloads: bool = False  # per-row PSNR/phash/caption invariants
+
+
+@dataclass
+class RoundStats:
+    round: int
+    depth: int
+    sub_round: int
+    n_admitted: int
+    n_candidates: int
+    n_new: int
+    n_blocked: int
+    n_pending_after: int
+    wall_ms: int
+
+
+class FrontierEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        warehouse: str,
+        corpus_path: str,
+        spec: C.CorpusSpec,
+        cfg: EngineConfig | None = None,
+    ):
+        self.spark = spark
+        self.warehouse = warehouse
+        self.corpus_path = corpus_path
+        self.spec = spec
+        self.cfg = cfg or EngineConfig()
+
+    # ------------------------------------------------------------ helpers
+    def store(self, job_id: str) -> JobStateStore:
+        return JobStateStore(self.warehouse, job_id)
+
+    def _with_keys(self, df: DataFrame) -> DataFrame:
+        url = U.canonicalize(F.col("url"))
+        return (
+            df.withColumn("url", url)
+            .withColumn("url_hash", U.url_hash(F.col("url")))
+            .withColumn("seen_bucket", U.seen_bucket(F.col("url_hash"), self.cfg.seen_buckets))
+        )
+
+    def _seen_df(self, store: JobStateStore, buckets: Optional[List[int]] = None) -> Optional[DataFrame]:
+        paths = store.seen_paths()
+        if not paths:
+            return None
+        # seen deltas are written partitioned by seen_bucket → this filter
+        # prunes partitions (PartitionFilters in .explain)
+        df = self.spark.read.parquet(*paths)
+        if buckets is not None:
+            df = df.filter(F.col("seen_bucket").isin(buckets))
+        return df
+
+    # ------------------------------------------------------------ seed
+    def _seed_round(self, store: JobStateStore, seed_url: str, depth_limit: int) -> None:
+        df = self.spark.createDataFrame([(seed_url,)], "url string")
+        df = self._with_keys(df).withColumn("host", U.host_of(F.col("url")))
+        if self.cfg.robots is not None:
+            df = df.filter(~blocked_expr(F.col("url")))
+        df = df.withColumn("depth", F.lit(0)).select("url", "host", "url_hash", "seen_bucket", "depth")
+        df.write.parquet(store.frontier_path(0))
+        seeded = self.spark.read.parquet(store.frontier_path(0))
+        n = seeded.count()
+        touched: List[int] = []
+        if n > 0:
+            seeded.select(*SEEN_COLS).write.partitionBy("seen_bucket").parquet(store.seen_delta_path(0))
+            touched = self._update_blooms(store, 0, seeded)
+        store.commit_round(
+            0,
+            {"depth": 0, "sub_round": -1, "depth_limit": depth_limit, "n_pending_after": n, "done": n == 0},
+            touched_blooms=touched,
+        )
+
+    # ------------------------------------------------------------ seen probe
+    def _filter_new(self, store: JobStateStore, candidates: DataFrame, persisted: Optional[list] = None) -> DataFrame:
+        """Anti-join candidates against the seen set (U2/J1). Bloom path:
+        partition-wise probe, exact anti-join only on positives."""
+        seen = self._seen_df(store)
+        if seen is None:
+            return candidates
+        if not self.cfg.use_bloom:
+            return candidates.join(seen.select("url_hash"), "url_hash", "left_anti")
+
+        blobs = {b: p for b, p in store.bloom_blobs().items()}
+        params = self.cfg.bloom
+
+        def probe(batches):
+            import pandas as pd  # noqa: F401
+
+            cache: dict = {}
+            for pdf in batches:
+                out = []
+                for bucket, grp in pdf.groupby("seen_bucket"):
+                    filt = cache.get(bucket)
+                    if filt is None:
+                        filt = B.load_blob(blobs.get(int(bucket), ""), params)
+                        cache[bucket] = filt
+                    maybe = B.contains(filt, grp["url_hash"].to_numpy(), params)
+                    g = grp.copy()
+                    g["maybe_seen"] = maybe
+                    out.append(g)
+                yield pd.concat(out) if out else pdf.assign(maybe_seen=False)
+
+        schema = candidates.schema.add("maybe_seen", "boolean")
+        # exchange by bucket so each task loads few blobs
+        probed = candidates.repartition(F.col("seen_bucket")).mapInPandas(probe, schema=schema)
+        probed = probed.persist()
+        if persisted is not None:
+            persisted.append(probed)
+        fresh = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
+        positives = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
+        # exact re-check: a Bloom false positive must never lose a URL
+        survivors = positives.join(seen.select("url_hash"), "url_hash", "left_anti")
+        return fresh.unionByName(survivors)
+
+    def _update_blooms(self, store: JobStateStore, r: int, new_rows: DataFrame) -> List[int]:
+        if not self.cfg.use_bloom:
+            return []
+        blobs = store.bloom_blobs()
+        params = self.cfg.bloom
+
+        def build(key, pdf):
+            import pandas as pd
+
+            bucket = int(key[0])
+            filt = B.load_blob(blobs.get(bucket, ""), params)
+            B.add_hashes(filt, pdf["url_hash"].to_numpy(), params)
+            B.write_blob(store.bloom_blob_path(r, bucket), filt)
+            return pd.DataFrame({"bucket": [bucket], "n": [len(pdf)]})
+
+        touched = (
+            new_rows.select("seen_bucket", "url_hash")
+            .groupBy("seen_bucket")
+            .applyInPandas(build, schema="bucket int, n long")
+            .collect()
+        )
+        return [row["bucket"] for row in touched]
+
+    # ------------------------------------------------------------ main loop
+    def run_job(
+        self,
+        job_id: str,
+        seed_url: str,
+        depth: int,
+        max_rounds: Optional[int] = None,
+        on_round=None,
+    ) -> dict:
+        """Run (or resume) a crawl job to completion. `max_rounds` aborts
+        after N committed rounds this invocation — the kill-and-resume test
+        hook (W2). Returns a summary dict."""
+        assert depth >= 1
+        store = self.store(job_id)
+        last = store.last_committed()
+        if last is None:
+            self._seed_round(store, seed_url, depth)
+            last = 0
+        else:
+            store.abort_round(last + 1)  # crash cleanup: drop uncommitted staging
+        info = store.read_commit(last)
+        depth_limit = info.get("depth_limit", depth)
+        rounds_done = 0
+
+        while not info.get("done"):
+            if max_rounds is not None and rounds_done >= max_rounds:
+                return {"job_id": job_id, "done": False, "last_round": last}
+            r = last + 1
+            t0 = time.monotonic()
+            stats = self._run_round(store, r, depth_limit)
+            stats.wall_ms = int((time.monotonic() - t0) * 1000)
+            self._write_round_metrics(store, r, stats)
+            rounds_done += 1
+            last = r
+            info = store.read_commit(last)
+            if on_round is not None:
+                on_round(stats)
+
+        return {
+            "job_id": job_id,
+            "done": True,
+            "last_round": last,
+            "n_seen": self.seen_df(job_id).count(),
+        }
+
+    def _run_round(self, store: JobStateStore, r: int, depth_limit: int) -> RoundStats:
+        prev = store.read_commit(r - 1)
+        frontier = self.spark.read.parquet(store.frontier_path(r - 1))
+        d = frontier.agg(F.min("depth").alias("d")).collect()[0]["d"]
+        sub = prev["sub_round"] + 1 if prev["depth"] == d else 0
+
+        pending = frontier.filter(F.col("depth") == d)
+        admitted, deferred = admit(pending, self.cfg.politeness)
+        persisted = [admitted.persist()]
+        n_admitted = admitted.count()
+        carry = frontier.filter(F.col("depth") != d).unionByName(deferred)
+
+        # ---- fetch: bucket-pruned corpus scan ⋈ broadcast(admitted)
+        admitted_keyed = admitted.withColumn("image_id", U.image_id_of(F.col("url"))).withColumn(
+            "corpus_bucket", F.pmod(U.page_index(F.col("url")), F.lit(C.N_BUCKETS)).cast("int")
+        )
+        payload_stats = None
+        if self.cfg.verify_payloads and n_admitted > 0:
+            buckets = [
+                row["corpus_bucket"]
+                for row in admitted_keyed.select("corpus_bucket").distinct().collect()
+            ]
+            corpus = self.spark.read.parquet(self.corpus_path).filter(F.col("bucket").isin(buckets))
+            fetched = corpus.join(
+                F.broadcast(admitted_keyed.select("image_id", "url")), "image_id"
+            )
+            payload_stats = (
+                verify_payloads(fetched, self.spec)
+                .agg(
+                    F.count("*").alias("n"),
+                    F.sum(F.col("pixels_ok").cast("int")).alias("n_pixels_ok"),
+                    F.sum(F.col("phash_ok").cast("int")).alias("n_phash_ok"),
+                    F.sum(F.col("caption_ok").cast("int")).alias("n_caption_ok"),
+                    F.min("psnr").alias("min_psnr"),
+                )
+                .collect()[0]
+                .asDict()
+            )
+
+        # ---- extract + dedup + seen anti-join + robots (skip at last depth, F4)
+        n_candidates = n_new = n_blocked = 0
+        new_rows = None
+        if d + 1 < depth_limit and n_admitted > 0:
+            links = extract_links(admitted_keyed, self.spec)
+            candidates = (
+                self._with_keys(links.select("url", "host"))
+                .dropDuplicates(["url_hash"])  # U3 within-round
+                .persist()
+            )
+            persisted.append(candidates)
+            n_candidates = candidates.count()
+            fresh = self._filter_new(store, candidates, persisted)  # U2 cross-depth
+            if self.cfg.robots is not None:
+                fresh = fresh.withColumn("_blocked", blocked_expr(F.col("url"))).persist()
+                persisted.append(fresh)
+                n_blocked = fresh.filter(F.col("_blocked")).count()
+                fresh = fresh.filter(~F.col("_blocked")).drop("_blocked")
+            new_rows = fresh.withColumn("depth", F.lit(d + 1)).select(
+                "url", "host", "url_hash", "seen_bucket", "depth"
+            )
+
+        # ---- stage writes into the round dir (visible only after commit)
+        touched: List[int] = []
+        if new_rows is not None:
+            new_rows.write.parquet(store.round_dir(r) + "/_new")
+            new_committed = self.spark.read.parquet(store.round_dir(r) + "/_new")
+            n_new = new_committed.count()
+            if n_new > 0:
+                new_committed.select(*SEEN_COLS).write.partitionBy("seen_bucket").parquet(
+                    store.seen_delta_path(r)
+                )
+                touched = self._update_blooms(store, r, new_committed)
+            next_frontier = carry.unionByName(new_committed)
+        else:
+            next_frontier = carry
+        next_frontier.write.parquet(store.frontier_path(r))
+        n_pending_after = self.spark.read.parquet(store.frontier_path(r)).count()
+        for df_ in persisted:
+            df_.unpersist()
+
+        info = {
+            "depth": int(d),
+            "sub_round": int(sub),
+            "depth_limit": depth_limit,
+            "n_admitted": n_admitted,
+            "n_new": n_new,
+            "n_pending_after": n_pending_after,
+            "done": n_pending_after == 0,
+        }
+        if payload_stats:
+            info["payload"] = {k: (float(v) if v is not None else None) for k, v in payload_stats.items()}
+        store.commit_round(r, info, touched_blooms=touched)
+        return RoundStats(
+            round=r,
+            depth=int(d),
+            sub_round=int(sub),
+            n_admitted=n_admitted,
+            n_candidates=n_candidates,
+            n_new=n_new,
+            n_blocked=n_blocked,
+            n_pending_after=n_pending_after,
+            wall_ms=0,
+        )
+
+    def _write_round_metrics(self, store: JobStateStore, r: int, s: RoundStats) -> None:
+        """Per-round lineage/metrics rows (north rule; generalizes the
+        reference's status histogram, master.go:575-596 A3)."""
+        row = [
+            (
+                s.round,
+                s.depth,
+                s.sub_round,
+                s.n_admitted,
+                s.n_candidates,
+                s.n_new,
+                s.n_blocked,
+                s.n_pending_after,
+                s.wall_ms,
+            )
+        ]
+        schema = (
+            "round int, depth int, sub_round int, n_admitted long, n_candidates long, "
+            "n_new long, n_blocked long, n_pending_after long, wall_ms long"
+        )
+        self.spark.createDataFrame(row, schema).coalesce(1).write.mode("overwrite").parquet(
+            store.metrics_path(r)
+        )
+
+    # ------------------------------------------------------------ readers
+    def seen_df(self, job_id: str) -> DataFrame:
+        store = self.store(job_id)
+        paths = store.seen_paths()
+        if not paths:
+            return self.spark.createDataFrame([], "url_hash long, url string, depth int, seen_bucket int")
+        return self.spark.read.parquet(*paths)
+
+    def results_df(self, job_id: str) -> DataFrame:
+        """Normalized D2 view: (job_id, depth, url) = first-discovery depth
+        of every URL that entered the task maps (U4 includes all statuses)."""
+        return self.seen_df(job_id).select(
+            F.lit(job_id).alias("job_id"), F.col("depth"), F.col("url")
+        )
+
+    def metrics_df(self, job_id: str) -> DataFrame:
+        paths = self.store(job_id).metrics_paths()
+        return self.spark.read.parquet(*paths)
+
+    def client_payload(self, job_id: str, depth: int) -> List[List[str]]:
+        """The reference's DoneJob.Results [][]string (transferObjects.go:17-23):
+        outer index = depth, inner = sorted URLs (within-depth order is
+        nondeterministic in the reference — compare as sets)."""
+        rows = (
+            self.results_df(job_id)
+            .groupBy("depth")
+            .agg(F.sort_array(F.collect_set("url")).alias("urls"))
+            .collect()
+        )
+        by_depth = {row["depth"]: row["urls"] for row in rows}
+        return [sorted(by_depth.get(i, [])) for i in range(depth)]
