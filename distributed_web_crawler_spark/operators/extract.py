@@ -32,7 +32,12 @@ def extract_links(fetched: DataFrame, spec: C.CorpusSpec) -> DataFrame:
         for pdf in batches:
             parents, urls, hosts = [], [], []
             for purl in pdf["url"]:
-                i = C.index_of_url(purl)
+                try:
+                    i = C.index_of_url(purl)
+                except (ValueError, IndexError):
+                    continue  # not a corpus URL ⇒ unfetchable ⇒ no links (worker.go:153)
+                if not (0 <= i < spec.n):
+                    continue
                 for t in C.out_links(i, spec):
                     parents.append(purl)
                     urls.append(C.url_of(t, spec))

@@ -102,9 +102,18 @@ class FrontierEngine:
         paths = store.seen_paths()
         if not paths:
             return None
-        # seen deltas are written partitioned by seen_bucket → this filter
-        # prunes partitions (PartitionFilters in .explain)
-        df = self.spark.read.parquet(*paths)
+        # each delta is its own partitioned root (union, not multi-path read);
+        # the bucket filter pushes through the union into every scan as a
+        # PartitionFilter
+        from functools import reduce
+
+        df = reduce(
+            DataFrame.unionByName,
+            [
+                self.spark.read.schema("url_hash long, url string, depth int, seen_bucket int").parquet(p)
+                for p in paths
+            ],
+        )
         if buckets is not None:
             df = df.filter(F.col("seen_bucket").isin(buckets))
         return df
@@ -304,7 +313,7 @@ class FrontierEngine:
         touched: List[int] = []
         if new_rows is not None:
             new_rows.write.parquet(store.round_dir(r) + "/_new")
-            new_committed = self.spark.read.parquet(store.round_dir(r) + "/_new")
+            new_committed = self.spark.read.schema(FRONTIER_SCHEMA).parquet(store.round_dir(r) + "/_new")
             n_new = new_committed.count()
             if n_new > 0:
                 new_committed.select(*SEEN_COLS).write.partitionBy("seen_bucket").parquet(
@@ -370,10 +379,10 @@ class FrontierEngine:
     # ------------------------------------------------------------ readers
     def seen_df(self, job_id: str) -> DataFrame:
         store = self.store(job_id)
-        paths = store.seen_paths()
-        if not paths:
+        df = self._seen_df(store)
+        if df is None:
             return self.spark.createDataFrame([], "url_hash long, url string, depth int, seen_bucket int")
-        return self.spark.read.parquet(*paths)
+        return df
 
     def results_df(self, job_id: str) -> DataFrame:
         """Normalized D2 view: (job_id, depth, url) = first-discovery depth

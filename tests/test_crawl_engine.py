@@ -1,0 +1,139 @@
+"""Engine ↔ oracle equivalence (SURVEY.md §5.1): per-depth URL sets are
+compared order-insensitively within a depth and ordered across depths; the
+seen set and the per-(depth, sub-round) politeness schedule must match
+exactly. Also covers resume (W2) and payload verification (input_hint)."""
+
+import pytest
+
+from distributed_web_crawler_spark.fixtures import corpus as C
+from distributed_web_crawler_spark.oracle.crawler import (
+    PolitenessPolicy,
+    RobotsPolicy,
+    crawl,
+)
+from distributed_web_crawler_spark.plans.frontier import EngineConfig, FrontierEngine
+
+
+def pick_seed(spec, min_degree=3, skip=0):
+    found = 0
+    for i in range(spec.n):
+        if len(C.out_links(i, spec)) >= min_degree:
+            if found == skip:
+                return i
+            found += 1
+    raise AssertionError
+
+
+def engine_for(spark, tmp_path, corpus, cfg=None):
+    spec, path = corpus
+    return FrontierEngine(spark, str(tmp_path / "wh"), path, spec, cfg)
+
+
+def assert_matches_oracle(engine, job_id, seed_i, depth, oracle_res, spec, check_schedule=False):
+    payload = engine.client_payload(job_id, depth)
+    assert payload == oracle_res.levels_sorted()
+    seen = {r["url"] for r in engine.seen_df(job_id).collect()}
+    assert seen == oracle_res.seen
+    if check_schedule:
+        m = engine.metrics_df(job_id).orderBy("round").collect()
+        got = [(r["depth"], r["sub_round"], r["n_admitted"]) for r in m]
+        want = [(d, s, len(urls)) for d, s, urls in oracle_res.schedule]
+        assert got == want
+
+
+@pytest.mark.parametrize("depth", [1, 2, 3])
+def test_plain_bfs_matches_oracle(spark, corpus_1k, tmp_path, depth):
+    spec, _ = corpus_1k
+    seed_i = pick_seed(spec)
+    eng = engine_for(spark, tmp_path, corpus_1k, EngineConfig(use_bloom=False))
+    s = eng.run_job(f"plain{depth}", C.url_of(seed_i, spec), depth)
+    assert s["done"]
+    assert_matches_oracle(eng, f"plain{depth}", seed_i, depth, crawl(seed_i, depth, spec), spec)
+
+
+def test_bloom_path_matches_exact(spark, corpus_1k, tmp_path):
+    from distributed_web_crawler_spark.functions.bloom import BloomParams
+
+    spec, _ = corpus_1k
+    seed_i = pick_seed(spec)
+    # tiny filters force false positives → exact re-check must rescue them
+    cfg = EngineConfig(use_bloom=True, seen_buckets=8, bloom=BloomParams(n_bits=1 << 10, n_hashes=3))
+    eng = engine_for(spark, tmp_path, corpus_1k, cfg)
+    s = eng.run_job("bloom", C.url_of(seed_i, spec), 3)
+    assert s["done"]
+    assert_matches_oracle(eng, "bloom", seed_i, 3, crawl(seed_i, 3, spec), spec)
+
+
+def test_politeness_schedule_matches_oracle(spark, corpus_1k, tmp_path):
+    spec, _ = corpus_1k
+    pol = PolitenessPolicy(round_duration_ms=4000)
+    seed_i = pick_seed(spec)
+    cfg = EngineConfig(politeness=pol, use_bloom=False)
+    eng = engine_for(spark, tmp_path, corpus_1k, cfg)
+    eng.run_job("pol", C.url_of(seed_i, spec), 3)
+    assert_matches_oracle(
+        eng, "pol", seed_i, 3, crawl(seed_i, 3, spec, politeness=pol), spec, check_schedule=True
+    )
+
+
+def test_robots_matches_oracle(spark, corpus_1k, tmp_path):
+    spec, _ = corpus_1k
+    rob = RobotsPolicy()
+    seed_i = pick_seed(spec)
+    cfg = EngineConfig(robots=rob, use_bloom=False)
+    eng = engine_for(spark, tmp_path, corpus_1k, cfg)
+    eng.run_job("rob", C.url_of(seed_i, spec), 3)
+    o = crawl(seed_i, 3, spec, robots=rob)
+    assert_matches_oracle(eng, "rob", seed_i, 3, o, spec)
+    total_blocked = sum(r["n_blocked"] for r in eng.metrics_df("rob").collect())
+    assert total_blocked == o.n_blocked
+
+
+def test_full_stack_matches_oracle(spark, corpus_1k, tmp_path):
+    spec, _ = corpus_1k
+    pol, rob = PolitenessPolicy(), RobotsPolicy()
+    seed_i = pick_seed(spec, skip=1)
+    cfg = EngineConfig(politeness=pol, robots=rob, use_bloom=True, seen_buckets=16)
+    eng = engine_for(spark, tmp_path, corpus_1k, cfg)
+    eng.run_job("full", C.url_of(seed_i, spec), 3)
+    o = crawl(seed_i, 3, spec, politeness=pol, robots=rob)
+    assert_matches_oracle(eng, "full", seed_i, 3, o, spec, check_schedule=True)
+
+
+def test_resume_mid_crawl(spark, corpus_1k, tmp_path):
+    """W2: kill after round r's commit, restart, final state identical."""
+    spec, _ = corpus_1k
+    seed_i = pick_seed(spec)
+    cfg = EngineConfig(use_bloom=True, seen_buckets=8)
+    eng = engine_for(spark, tmp_path, corpus_1k, cfg)
+    s1 = eng.run_job("res", C.url_of(seed_i, spec), 3, max_rounds=1)
+    assert not s1["done"]
+    s2 = eng.run_job("res", C.url_of(seed_i, spec), 3)  # resume
+    assert s2["done"] and s2["last_round"] > s1["last_round"]
+    assert_matches_oracle(eng, "res", seed_i, 3, crawl(seed_i, 3, spec), spec)
+
+
+def test_payload_verification(spark, corpus_1k, tmp_path):
+    spec, _ = corpus_1k
+    seed_i = pick_seed(spec)
+    cfg = EngineConfig(use_bloom=False, verify_payloads=True)
+    eng = engine_for(spark, tmp_path, corpus_1k, cfg)
+    eng.run_job("pay", C.url_of(seed_i, spec), 2)
+    store = eng.store("pay")
+    stats = [store.read_commit(r).get("payload") for r in store.committed_rounds()]
+    stats = [s for s in stats if s]
+    assert stats, "payload stats recorded"
+    for s in stats:
+        assert s["n"] == s["n_pixels_ok"] == s["n_phash_ok"] == s["n_caption_ok"]
+        assert s["min_psnr"] >= 40.0
+
+
+def test_blocked_seed_yields_empty_job(spark, corpus_1k, tmp_path):
+    spec, _ = corpus_1k
+    rob = RobotsPolicy()
+    blocked = [i for i in range(spec.n) if rob.blocked(i, spec)]
+    if not blocked:
+        pytest.skip("no blocked page at this corpus size")
+    eng = engine_for(spark, tmp_path, corpus_1k, EngineConfig(robots=rob, use_bloom=False))
+    s = eng.run_job("blk", C.url_of(blocked[0], spec), 2)
+    assert s["done"] and s["n_seen"] == 0
