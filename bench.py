@@ -67,6 +67,11 @@ def bench_crawl(spark):
     eng.run_job("bench", seeds, 2)
     wall = time.monotonic() - t0
     fetched = sum(r["n_admitted"] for r in eng.metrics_df("bench").collect())
+    store = eng.store("bench")
+    phase_totals: dict = {}
+    for rd in store.committed_rounds():
+        for k, v in store.read_commit(rd).get("phases", {}).items():
+            phase_totals[k] = phase_totals.get(k, 0) + v
     shutil.rmtree(wh, ignore_errors=True)
     return {
         "urls_fetched": int(fetched),
@@ -75,6 +80,7 @@ def bench_crawl(spark):
         "corpus_pages": CRAWL_N,
         "corpus_gen_sec": gen_sec,
         "cpus": CPUS,
+        "phase_ms": phase_totals,
     }
 
 

@@ -24,15 +24,23 @@ from pyspark.sql import DataFrame, functions as F
 def bfs(edges: DataFrame, seed: DataFrame, max_depth: int, checkpoint_every: int = 4) -> DataFrame:
     """edges: (src string, dst string); seed: (url string) single row.
     Returns (url string, depth int) — first-discovery depth per reached node,
-    depths 0..max_depth."""
+    depths 0..max_depth.
+
+    Plan shape: edges are persisted once and probed with a BROADCAST of the
+    (small) frontier each round — the big side never shuffles; the only
+    exchanges are the frontier dedup and the anti-join against the (also
+    small) seen set, both broadcast-sized. A frontier too large to broadcast
+    flips to the frontier-engine path (bucketed edges + shuffled hash join
+    + Bloom seen filters, plans/frontier.py)."""
+    edges = edges.persist()
     seen = seed.select(F.col("url"), F.lit(0).alias("depth")).persist()
     frontier = seen
     for d in range(1, max_depth + 1):
         nxt = (
-            edges.join(frontier.select(F.col("url").alias("src")), "src")
+            edges.join(F.broadcast(frontier.select(F.col("url").alias("src"))), "src")
             .select(F.col("dst").alias("url"))
             .dropDuplicates(["url"])
-            .join(seen.select("url"), "url", "left_anti")
+            .join(F.broadcast(seen.select("url")), "url", "left_anti")
             .withColumn("depth", F.lit(d))
             .persist()
         )
@@ -43,4 +51,5 @@ def bfs(edges: DataFrame, seed: DataFrame, max_depth: int, checkpoint_every: int
             seen = seen.localCheckpoint()
         seen = seen.persist()
         frontier = nxt
+    edges.unpersist()
     return seen

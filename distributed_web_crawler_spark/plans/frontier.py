@@ -28,6 +28,7 @@ Scale shape per round (what survives 1000 executors × 100 TB):
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass, field
 from typing import List, Optional
@@ -38,8 +39,8 @@ from ..catalog.tables import JobStateStore
 from ..fixtures import corpus as C
 from ..functions import bloom as B
 from ..functions import urls as U
-from ..functions.images import verify_payloads
 from ..operators.extract import extract_links
+from ..sources.fetch import fetch_and_verify
 from ..operators.politeness import admit
 from ..operators.robots import blocked_expr
 from ..oracle.crawler import PolitenessPolicy, RobotsPolicy
@@ -53,7 +54,9 @@ class EngineConfig:
     politeness: Optional[PolitenessPolicy] = None
     robots: Optional[RobotsPolicy] = None
     use_bloom: bool = True
-    seen_buckets: int = 64
+    # 16 buckets at sandbox scale (≈1 file per bucket per round); a 10^10
+    # deployment raises this into the thousands — every path is O(buckets)
+    seen_buckets: int = 16
     bloom: B.BloomParams = field(default_factory=B.BloomParams)
     verify_payloads: bool = False  # per-row PSNR/phash/caption invariants
 
@@ -123,8 +126,11 @@ class FrontierEngine:
         """seed_url: one URL or a list — the 10^10-frontier drain scenario
         seeds whole batches, the reference's single-seed job is the
         singleton case."""
+        import pandas as pd
+
         seeds = [seed_url] if isinstance(seed_url, str) else list(seed_url)
-        df = self.spark.createDataFrame([(u,) for u in seeds], "url string").dropDuplicates(["url"])
+        # Arrow path (a plain tuple list would serialize row-by-row via py4j)
+        df = self.spark.createDataFrame(pd.DataFrame({"url": seeds})).dropDuplicates(["url"])
         df = self._with_keys(df).withColumn("host", U.host_of(F.col("url")))
         if self.cfg.robots is not None:
             df = df.filter(~blocked_expr(F.col("url")))
@@ -134,7 +140,9 @@ class FrontierEngine:
         n = seeded.count()
         touched: List[int] = []
         if n > 0:
-            seeded.select(*SEEN_COLS).write.partitionBy("seen_bucket").parquet(store.seen_delta_path(0))
+            seeded.select(*SEEN_COLS).repartition(F.col("seen_bucket")).write.partitionBy(
+                "seen_bucket"
+            ).parquet(store.seen_delta_path(0))
             touched = self._update_blooms(store, 0, seeded)
         store.commit_round(
             0,
@@ -253,6 +261,13 @@ class FrontierEngine:
         }
 
     def _run_round(self, store: JobStateStore, r: int, depth_limit: int) -> RoundStats:
+        phases: dict = {}
+
+        def _mark(key, t0):
+            phases[key] = round((time.monotonic() - t0) * 1000)
+            return time.monotonic()
+
+        t = time.monotonic()
         prev = store.read_commit(r - 1)
         frontier = self.spark.read.parquet(store.frontier_path(r - 1))
         d = frontier.agg(F.min("depth").alias("d")).collect()[0]["d"]
@@ -263,6 +278,7 @@ class FrontierEngine:
         persisted = [admitted.persist()]
         n_admitted = admitted.count()
         carry = frontier.filter(F.col("depth") != d).unionByName(deferred)
+        t = _mark("admit_ms", t)
 
         # ---- fetch: bucket-pruned corpus scan ⋈ broadcast(admitted)
         admitted_keyed = admitted.withColumn("image_id", U.image_id_of(F.col("url"))).withColumn(
@@ -270,16 +286,8 @@ class FrontierEngine:
         )
         payload_stats = None
         if self.cfg.verify_payloads and n_admitted > 0:
-            buckets = [
-                row["corpus_bucket"]
-                for row in admitted_keyed.select("corpus_bucket").distinct().collect()
-            ]
-            corpus = self.spark.read.parquet(self.corpus_path).filter(F.col("bucket").isin(buckets))
-            fetched = corpus.join(
-                F.broadcast(admitted_keyed.select("image_id", "url")), "image_id"
-            )
             payload_stats = (
-                verify_payloads(fetched, self.spec)
+                fetch_and_verify(self.spark, self.corpus_path, admitted_keyed, self.spec)
                 .agg(
                     F.count("*").alias("n"),
                     F.sum(F.col("pixels_ok").cast("int")).alias("n_pixels_ok"),
@@ -290,6 +298,7 @@ class FrontierEngine:
                 .collect()[0]
                 .asDict()
             )
+        t = _mark("fetch_verify_ms", t)
 
         # ---- extract + dedup + seen anti-join + robots (skip at last depth, F4)
         n_candidates = n_new = n_blocked = 0
@@ -314,16 +323,22 @@ class FrontierEngine:
             )
 
         # ---- stage writes into the round dir (visible only after commit)
+        t = _mark("extract_dedup_ms", t)
         touched: List[int] = []
         if new_rows is not None:
             new_rows.write.parquet(store.round_dir(r) + "/_new")
             new_committed = self.spark.read.schema(FRONTIER_SCHEMA).parquet(store.round_dir(r) + "/_new")
             n_new = new_committed.count()
+            t = _mark("new_write_ms", t)
             if n_new > 0:
-                new_committed.select(*SEEN_COLS).write.partitionBy("seen_bucket").parquet(
-                    store.seen_delta_path(r)
-                )
+                # one file per bucket per round: without the repartition,
+                # partitionBy writes (input partitions × buckets) tiny files
+                # and later rounds pay the listing/footer cost
+                new_committed.select(*SEEN_COLS).repartition(F.col("seen_bucket")).write.partitionBy(
+                    "seen_bucket"
+                ).parquet(store.seen_delta_path(r))
                 touched = self._update_blooms(store, r, new_committed)
+            t = _mark("seen_bloom_ms", t)
             next_frontier = carry.unionByName(new_committed)
         else:
             next_frontier = carry
@@ -331,6 +346,7 @@ class FrontierEngine:
         n_pending_after = self.spark.read.parquet(store.frontier_path(r)).count()
         for df_ in persisted:
             df_.unpersist()
+        _mark("frontier_write_ms", t)
 
         info = {
             "depth": int(d),
@@ -343,6 +359,7 @@ class FrontierEngine:
         }
         if payload_stats:
             info["payload"] = {k: (float(v) if v is not None else None) for k, v in payload_stats.items()}
+        info["phases"] = phases
         store.commit_round(r, info, touched_blooms=touched)
         return RoundStats(
             round=r,
@@ -357,28 +374,29 @@ class FrontierEngine:
         )
 
     def _write_round_metrics(self, store: JobStateStore, r: int, s: RoundStats) -> None:
-        """Per-round lineage/metrics rows (north rule; generalizes the
-        reference's status histogram, master.go:575-596 A3)."""
-        row = [
-            (
-                s.round,
-                s.depth,
-                s.sub_round,
-                s.n_admitted,
-                s.n_candidates,
-                s.n_new,
-                s.n_blocked,
-                s.n_pending_after,
-                s.wall_ms,
-            )
-        ]
-        schema = (
-            "round int, depth int, sub_round int, n_admitted long, n_candidates long, "
-            "n_new long, n_blocked long, n_pending_after long, wall_ms long"
+        """Per-round lineage/metrics row (north rule; generalizes the
+        reference's status histogram, master.go:575-596 A3). One row per
+        round → written driver-side with pyarrow (a Spark job for a single
+        row costs seconds of scheduling); read back as a normal parquet
+        table by metrics_df."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        os.makedirs(store.metrics_path(r), exist_ok=True)
+        table = pa.table(
+            {
+                "round": pa.array([s.round], pa.int32()),
+                "depth": pa.array([s.depth], pa.int32()),
+                "sub_round": pa.array([s.sub_round], pa.int32()),
+                "n_admitted": pa.array([s.n_admitted], pa.int64()),
+                "n_candidates": pa.array([s.n_candidates], pa.int64()),
+                "n_new": pa.array([s.n_new], pa.int64()),
+                "n_blocked": pa.array([s.n_blocked], pa.int64()),
+                "n_pending_after": pa.array([s.n_pending_after], pa.int64()),
+                "wall_ms": pa.array([s.wall_ms], pa.int64()),
+            }
         )
-        self.spark.createDataFrame(row, schema).coalesce(1).write.mode("overwrite").parquet(
-            store.metrics_path(r)
-        )
+        pq.write_table(table, os.path.join(store.metrics_path(r), "part-0.parquet"))
 
     # ------------------------------------------------------------ readers
     def seen_df(self, job_id: str) -> DataFrame:

@@ -49,7 +49,9 @@ def q_bfs_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("o"), F.col("l_orderkey")).alias("src"),
         F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"),
     )
-    edges = fwd.unionByName(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).dropDuplicates()
+    # no global edge dedup: a full-table shuffle the per-round target dedup
+    # makes redundant (duplicate edges cannot change first-discovery depths)
+    edges = fwd.unionByName(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     seed_key = _t(spark, sf_dir, "orders").agg(F.min("o_orderkey")).collect()[0][0]
     seed = spark.createDataFrame([(f"o{seed_key}",)], "url string")
     return bfs(edges, seed, BFS_DEPTH).select("url", F.col("depth").cast("int").alias("depth"))

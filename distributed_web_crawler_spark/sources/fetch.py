@@ -1,0 +1,116 @@
+"""Keyed payload fetch — the crawl's S4 "HTTP GET" stand-in, IO-proportional
+to the frontier (SURVEY.md J5).
+
+Joins the admitted frontier against the corpus' SLIM metadata columns
+(image_id, fmt, caption, phash, blob_offset, blob_len — the bytes column is
+never touched), then point-reads each payload's byte range from the bucket's
+packed shard in an Arrow-batched pandas stage. Rows are exchanged by bucket
+and read in offset order, so each task opens one shard and seeks forward —
+the access pattern of ranged GETs against tar/WebDataset shards on object
+storage. A fetched row's bytes are decoded in the same stage (no second
+pass over binary data).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..fixtures import corpus as C
+from ..functions.images import decode_any
+from .corpus_source import blob_path
+
+SLIM_COLS = ["image_id", "fmt", "caption", "phash", "bucket", "blob_offset", "blob_len"]
+
+VERIFY_SCHEMA = (
+    "url string, psnr double, phash_ok boolean, caption_ok boolean, pixels_ok boolean"
+)
+FEATURES_SCHEMA = "url string, phash_dec bigint, luma double"
+
+
+def fetch_join(spark: SparkSession, corpus_path: str, admitted: DataFrame) -> DataFrame:
+    """admitted: (url, image_id, corpus_bucket). Returns admitted ⋈ slim
+    metadata — a broadcast join against a bytes-free, bucket-pruned scan."""
+    buckets = [r["corpus_bucket"] for r in admitted.select("corpus_bucket").distinct().collect()]
+    slim = (
+        spark.read.parquet(corpus_path)
+        .filter(F.col("bucket").isin(buckets))
+        .select(*SLIM_COLS)
+    )
+    return slim.join(F.broadcast(admitted.select("image_id", "url")), "image_id")
+
+
+def _read_ranges(pdf, corpus_path):
+    """Point-read payloads for one pandas batch, offset-ordered per shard."""
+    out = {}
+    order = pdf.sort_values(["bucket", "blob_offset"]).index
+    handles = {}
+    try:
+        for idx in order:
+            b = int(pdf["bucket"][idx])
+            fh = handles.get(b)
+            if fh is None:
+                fh = handles[b] = open(blob_path(corpus_path, b), "rb")
+            fh.seek(int(pdf["blob_offset"][idx]))
+            out[idx] = fh.read(int(pdf["blob_len"][idx]))
+    finally:
+        for fh in handles.values():
+            fh.close()
+    return out
+
+
+def fetch_and_verify(spark, corpus_path: str, admitted: DataFrame, spec: C.CorpusSpec) -> DataFrame:
+    """Fetch + full per-row invariants vs the generator (input_hint):
+    decoded pixels exact for PNG / PSNR≥40 dB for JPEG, phash equality,
+    caption equality."""
+    fetched = fetch_join(spark, corpus_path, admitted)
+
+    def verify(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = _read_ranges(pdf, corpus_path)
+            rows = []
+            for idx in pdf.index:
+                url = pdf["url"][idx]
+                i = C.index_of_url(url)
+                dec = decode_any(payloads[idx])
+                raw = C.raw_pixels(i, spec)
+                p = C.psnr(raw, dec)
+                rows.append(
+                    {
+                        "url": url,
+                        "psnr": min(p, 99.0),
+                        "phash_ok": C.phash64(dec) == pdf["phash"][idx],
+                        "caption_ok": pdf["caption"][idx] == C.caption_of(i, spec),
+                        "pixels_ok": bool((dec == raw).all()) if pdf["fmt"][idx] == "png" else p >= 40.0,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return fetched.repartition(F.col("bucket")).mapInPandas(verify, schema=VERIFY_SCHEMA)
+
+
+def fetch_and_decode(spark, corpus_path: str, admitted: DataFrame) -> DataFrame:
+    """Fetch + decode + light features (the production fetch workload:
+    no generator oracle in the loop)."""
+    fetched = fetch_join(spark, corpus_path, admitted)
+
+    def feats(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = _read_ranges(pdf, corpus_path)
+            rows = []
+            for idx in pdf.index:
+                dec = decode_any(payloads[idx])
+                means = dec.reshape(-1, 3).mean(axis=0)
+                rows.append(
+                    {
+                        "url": pdf["url"][idx],
+                        "phash_dec": C.phash64(dec),
+                        "luma": float(0.2126 * means[0] + 0.7152 * means[1] + 0.0722 * means[2]),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return fetched.repartition(F.col("bucket")).mapInPandas(feats, schema=FEATURES_SCHEMA)
