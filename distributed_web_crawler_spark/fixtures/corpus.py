@@ -47,7 +47,7 @@ OVERSIZED_MOD = 50  # 1-in-50 pages hit the 1000-token cap → empty links
 FETCH_ERR_MOD = 97  # 1-in-97 pages fail fetch → empty links
 MAX_OUT_DEGREE = 9  # out-degree in 0..8
 DANGLING_FACTOR = 11  # targets drawn from [0, N*11//10) → ~9% dangling
-N_BUCKETS = 16  # corpus storage partitions: bucket(i) = i % N_BUCKETS
+N_BUCKETS = 32  # corpus storage partitions: bucket(i) = i % N_BUCKETS
 
 _VOCAB = [
     "amber", "basalt", "cedar", "delta", "ember", "fjord", "garnet", "harbor",

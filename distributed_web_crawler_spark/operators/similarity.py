@@ -44,11 +44,16 @@ def cosine_topk(embeddings: DataFrame, query_vec: Sequence[float], k: int = 10) 
 
 
 def hyperplane(dim: int, plane: int) -> List[float]:
-    """Deterministic pseudo-random hyperplane: component c = ±1 by bit parity
-    of hash60(f'{plane}:{c}') — reproducible in SQL, no RNG state."""
-    from ..functions.xxh64 import xxh64
+    """Deterministic pseudo-random ±1 hyperplane from the portable md5-60
+    hash — no RNG state, computable identically anywhere (the oracle SQL
+    inlines these very values as literals)."""
+    import hashlib
 
-    return [1.0 if xxh64(f"plane:{plane}:{c}") % 2 == 0 else -1.0 for c in range(dim)]
+    out = []
+    for c in range(dim):
+        h = int(hashlib.md5(f"plane:{plane}:{c}".encode()).hexdigest()[:15], 16)
+        out.append(1.0 if h % 2 == 0 else -1.0)
+    return out
 
 
 def lsh_bucket(embeddings: DataFrame, dim: int, n_planes: int = 8) -> DataFrame:
@@ -71,6 +76,28 @@ def ann_topk(embeddings: DataFrame, query_vec: Sequence[float], dim: int, k: int
             qb |= 1 << p
     bucketed = lsh_bucket(embeddings, dim, n_planes)
     return cosine_topk(bucketed.filter(F.col("bucket") == qb).drop("bucket"), query_vec, k)
+
+
+def embedding_dedup_pairs(embeddings: DataFrame, dim: int, threshold: float = 0.9, n_planes: int = 8) -> DataFrame:
+    """Embedding-cosine near-dup pairs, LSH-blocked: only vectors sharing a
+    sign-LSH bucket are compared — the quadratic compare never happens
+    across buckets (the scale path for embedding dedup). Output:
+    (a_id, b_id, sim_bucket2) with cosine rounded to 2 decimals."""
+    b = lsh_bucket(embeddings, dim, n_planes).select("vec_id", "bucket", "embedding")
+    a_, b_ = b.alias("a"), b.alias("b")
+    cos = _dot(F.col("a.embedding"), F.col("b.embedding")) / (
+        _norm(F.col("a.embedding")) * _norm(F.col("b.embedding"))
+    )
+    return (
+        a_.join(b_, "bucket")
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("a_id"),
+            F.col("b.vec_id").alias("b_id"),
+            F.round(cos, 2).alias("sim_bucket2"),
+        )
+        .filter(F.col("sim_bucket2") >= threshold)
+    )
 
 
 def label_centroid_norms(embeddings: DataFrame) -> DataFrame:

@@ -1,0 +1,44 @@
+"""Explicit key salting for skewed aggregation (SURVEY.md §4; the fixture
+corpus deterministically remaps every 10th page to host 0 to create a
+mega-host).
+
+Two-phase salted aggregation: partial-aggregate on (key, salt) so a hot
+key's rows spread over `n_salts` reducers, then final-aggregate on key.
+Result is identical to the direct groupBy (the oracle SQL is the plain
+GROUP BY); the benefit is the shuffle histogram — no single reducer owns
+the mega-key. Catalyst's hash aggregate already does map-side partials,
+so this matters when a key's PARTIAL results are themselves too hot (e.g.
+high-cardinality aggregation state or AQE-resistant sinks); it is the
+hand-rolled analog of AQE skew-join splitting, applied to aggregations."""
+
+from __future__ import annotations
+
+from typing import List
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def salted_agg(df: DataFrame, key: str, n_salts: int, aggs: List[Column], finals: List[Column]) -> DataFrame:
+    """aggs: partial aggregate columns (aliased); finals: matching final
+    re-aggregations over the partial names (aliased to output names)."""
+    salted = df.withColumn("_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts)))
+    partial = salted.groupBy(key, "_salt").agg(*aggs)
+    return partial.groupBy(key).agg(*finals)
+
+
+def salted_host_counts(lineitem: DataFrame, n_salts: int = 8) -> DataFrame:
+    """Demo on the TPC-H-ish tables: per-supplier row counts + revenue with
+    salting, byte-identical to the direct GROUP BY."""
+    return salted_agg(
+        lineitem,
+        "l_suppkey",
+        n_salts,
+        aggs=[
+            F.count("*").alias("_n"),
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_rev"),
+        ],
+        finals=[
+            F.sum("_n").alias("n_rows"),
+            F.round(F.sum("_rev"), 2).alias("revenue"),
+        ],
+    )

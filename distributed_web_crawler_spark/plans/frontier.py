@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import os
 import time
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 from typing import List, Optional
 
@@ -48,6 +49,10 @@ from ..oracle.crawler import PolitenessPolicy, RobotsPolicy
 FRONTIER_SCHEMA = "url string, host string, url_hash bigint, seen_bucket int, depth int"
 SEEN_COLS = ["url_hash", "url", "depth", "seen_bucket"]
 
+# driver-side pool for concurrent Spark actions within a round (independent
+# job DAGs: payload verify ∥ extraction pipeline; seen/bloom/frontier writes)
+_POOL = ThreadPoolExecutor(max_workers=4, thread_name_prefix="frontier-io")
+
 
 @dataclass
 class EngineConfig:
@@ -57,6 +62,9 @@ class EngineConfig:
     # 16 buckets at sandbox scale (≈1 file per bucket per round); a 10^10
     # deployment raises this into the thousands — every path is O(buckets)
     seen_buckets: int = 16
+    # count the per-round candidate set (extra materialization of the
+    # extract+dedup pipeline) — rich metrics for tests, off for benchmarks
+    detailed_metrics: bool = True
     bloom: B.BloomParams = field(default_factory=B.BloomParams)
     verify_payloads: bool = False  # per-row PSNR/phash/caption invariants
 
@@ -181,8 +189,12 @@ class FrontierEngine:
                 yield pd.concat(out) if out else pdf.assign(maybe_seen=False)
 
         schema = candidates.schema.add("maybe_seen", "boolean")
-        # exchange by bucket so each task loads few blobs
-        probed = candidates.repartition(F.col("seen_bucket")).mapInPandas(probe, schema=schema)
+        # exchange on a refinement of seen_bucket (multiple-of-buckets key):
+        # each task still touches few blobs, but every reducer gets work
+        # (hashing on the bucket alone leaves ~37% of reducers empty)
+        fine_key = F.pmod(F.col("url_hash"), F.lit(self.cfg.seen_buckets * 8))
+        n_par = self.spark.sparkContext.defaultParallelism
+        probed = candidates.repartition(n_par, fine_key).mapInPandas(probe, schema=schema)
         probed = probed.persist()
         if persisted is not None:
             persisted.append(probed)
@@ -270,13 +282,16 @@ class FrontierEngine:
         t = time.monotonic()
         prev = store.read_commit(r - 1)
         frontier = self.spark.read.parquet(store.frontier_path(r - 1))
-        d = frontier.agg(F.min("depth").alias("d")).collect()[0]["d"]
+        # one job: per-depth histogram gives both the cursor (min depth) and,
+        # when no politeness throttles, the admitted count
+        by_depth = {row["depth"]: row["n"] for row in frontier.groupBy("depth").agg(F.count("*").alias("n")).collect()}
+        d = min(by_depth)
         sub = prev["sub_round"] + 1 if prev["depth"] == d else 0
 
         pending = frontier.filter(F.col("depth") == d)
         admitted, deferred = admit(pending, self.cfg.politeness)
         persisted = [admitted.persist()]
-        n_admitted = admitted.count()
+        n_admitted = by_depth[d] if self.cfg.politeness is None else admitted.count()
         carry = frontier.filter(F.col("depth") != d).unionByName(deferred)
         t = _mark("admit_ms", t)
 
@@ -284,34 +299,45 @@ class FrontierEngine:
         admitted_keyed = admitted.withColumn("image_id", U.image_id_of(F.col("url"))).withColumn(
             "corpus_bucket", F.pmod(U.page_index(F.col("url")), F.lit(C.N_BUCKETS)).cast("int")
         )
-        payload_stats = None
+        payload_future = None
         if self.cfg.verify_payloads and n_admitted > 0:
-            payload_stats = (
-                fetch_and_verify(self.spark, self.corpus_path, admitted_keyed, self.spec)
-                .agg(
-                    F.count("*").alias("n"),
-                    F.sum(F.col("pixels_ok").cast("int")).alias("n_pixels_ok"),
-                    F.sum(F.col("phash_ok").cast("int")).alias("n_phash_ok"),
-                    F.sum(F.col("caption_ok").cast("int")).alias("n_caption_ok"),
-                    F.min("psnr").alias("min_psnr"),
+            # run the payload fetch+decode CONCURRENTLY with the extraction/
+            # dedup pipeline below — they share only the cached `admitted`
+            # (Spark actions are thread-safe; two independent job DAGs).
+            # Construction happens inside the thread too: fetch_join's
+            # bucket-pruning collect would otherwise block this thread.
+            def _verify():
+                return (
+                    fetch_and_verify(self.spark, self.corpus_path, admitted_keyed, self.spec)
+                    .agg(
+                        F.count("*").alias("n"),
+                        F.sum(F.col("pixels_ok").cast("int")).alias("n_pixels_ok"),
+                        F.sum(F.col("phash_ok").cast("int")).alias("n_phash_ok"),
+                        F.sum(F.col("caption_ok").cast("int")).alias("n_caption_ok"),
+                        F.min("psnr").alias("min_psnr"),
+                    )
+                    .collect()[0]
+                    .asDict()
                 )
-                .collect()[0]
-                .asDict()
-            )
-        t = _mark("fetch_verify_ms", t)
+
+            payload_future = _POOL.submit(_verify)
+        t = _mark("fetch_submit_ms", t)
 
         # ---- extract + dedup + seen anti-join + robots (skip at last depth, F4)
         n_candidates = n_new = n_blocked = 0
         new_rows = None
         if d + 1 < depth_limit and n_admitted > 0:
-            links = extract_links(admitted_keyed, self.spec)
+            # extraction parallelism must not be bound to the frontier's
+            # file count — pin it to the cores (CPU-bound Python stage)
+            extract_input = admitted_keyed.repartition(self.spark.sparkContext.defaultParallelism)
+            links = extract_links(extract_input, self.spec)
             candidates = (
                 self._with_keys(links.select("url", "host"))
                 .dropDuplicates(["url_hash"])  # U3 within-round
                 .persist()
             )
             persisted.append(candidates)
-            n_candidates = candidates.count()
+            n_candidates = candidates.count() if self.cfg.detailed_metrics else -1
             fresh = self._filter_new(store, candidates, persisted)  # U2 cross-depth
             if self.cfg.robots is not None:
                 fresh = fresh.withColumn("_blocked", blocked_expr(F.col("url"))).persist()
@@ -330,23 +356,36 @@ class FrontierEngine:
             new_committed = self.spark.read.schema(FRONTIER_SCHEMA).parquet(store.round_dir(r) + "/_new")
             n_new = new_committed.count()
             t = _mark("new_write_ms", t)
-            if n_new > 0:
-                # one file per bucket per round: without the repartition,
-                # partitionBy writes (input partitions × buckets) tiny files
-                # and later rounds pay the listing/footer cost
-                new_committed.select(*SEEN_COLS).repartition(F.col("seen_bucket")).write.partitionBy(
-                    "seen_bucket"
-                ).parquet(store.seen_delta_path(r))
-                touched = self._update_blooms(store, r, new_committed)
-            t = _mark("seen_bloom_ms", t)
             next_frontier = carry.unionByName(new_committed)
         else:
+            n_new = 0
+            new_committed = None
             next_frontier = carry
-        next_frontier.write.parquet(store.frontier_path(r))
-        n_pending_after = self.spark.read.parquet(store.frontier_path(r)).count()
+
+        # independent output writes run as concurrent Spark jobs — they all
+        # consume the already-materialized _new parquet / cached frontier
+        def _write_seen():
+            # one file per bucket per round: without the repartition,
+            # partitionBy writes (input partitions × buckets) tiny files
+            # and later rounds pay the listing/footer cost
+            new_committed.select(*SEEN_COLS).repartition(F.col("seen_bucket")).write.partitionBy(
+                "seen_bucket"
+            ).parquet(store.seen_delta_path(r))
+
+        futures = []
+        if n_new > 0:
+            futures.append(_POOL.submit(_write_seen))
+            futures.append(_POOL.submit(self._update_blooms, store, r, new_committed))
+        futures.append(_POOL.submit(lambda: next_frontier.write.parquet(store.frontier_path(r))))
+        results = [f.result() for f in futures]
+        touched = results[1] if n_new > 0 else []
+        # arithmetic, not a read-back job: frontier rows are conserved
+        n_pending_after = prev["n_pending_after"] - n_admitted + n_new
         for df_ in persisted:
             df_.unpersist()
-        _mark("frontier_write_ms", t)
+        t = _mark("writes_ms", t)
+        payload_stats = payload_future.result() if payload_future is not None else None
+        _mark("fetch_verify_wait_ms", t)
 
         info = {
             "depth": int(d),

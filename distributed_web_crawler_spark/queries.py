@@ -169,6 +169,33 @@ def q_label_centroids(spark, sf_dir):
     return S.label_centroid_norms(_t(spark, sf_dir, "embeddings"))
 
 
+EMB_DIM = 64
+N_PLANES = 8
+
+
+def q_ann_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.ann_topk(emb, _query_vec(spark, sf_dir), EMB_DIM, k=10, n_planes=N_PLANES)
+
+
+def q_embedding_dedup_pairs(spark, sf_dir):
+    return S.embedding_dedup_pairs(_t(spark, sf_dir, "embeddings"), EMB_DIM, 0.9, N_PLANES)
+
+
+def q_salted_host_agg(spark, sf_dir):
+    from .operators.skew import salted_host_counts
+
+    return salted_host_counts(_t(spark, sf_dir, "lineitem"))
+
+
+def q_windowed_metrics(spark, sf_dir):
+    from .streaming.windows import windowed_counts
+
+    return windowed_counts(_t(spark, sf_dir, "events"), "1 hour").select(
+        F.unix_timestamp("w_start").alias("w_epoch"), "event_type", "n", "sum_value"
+    )
+
+
 # ------------------------------------------------------------------- oracles
 
 _TOKS = "string_split_regex(trim(lower(text)), '\\s+')"
@@ -203,6 +230,19 @@ tok AS (SELECT DISTINCT doc_id, w FROM toks, UNNEST(ws) t(w)),
 hashed AS (SELECT doc_id, {hash60_sql('w')} AS h FROM tok),
 votes AS (SELECT doc_id, {votes} FROM hashed GROUP BY doc_id)
 SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM votes"""
+
+
+def _bucket_sql(vec_expr: str) -> str:
+    """Sign-LSH bucket of a DOUBLE[] expression: the hyperplanes are the
+    SAME Python-computed ±1 vectors the Spark operator uses, inlined as
+    list literals — both engines bucket identically by construction."""
+    from .operators.similarity import hyperplane
+
+    terms = []
+    for p in range(N_PLANES):
+        lit = "[" + ", ".join(str(x) for x in hyperplane(EMB_DIM, p)) + "]"
+        terms.append(f"(CASE WHEN list_dot_product({vec_expr}, {lit}) > 0 THEN {1 << p} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
 
 
 def _lang_markers_sql(lang: str) -> str:
@@ -324,7 +364,38 @@ SELECT rank, vec_id, sim_bucket FROM ranked WHERE rank <= 10""",
 SELECT label, count(*) AS n,
        round(avg(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))), 3) AS avg_norm
 FROM embeddings GROUP BY label""",
+    "salted_host_agg": """
+SELECT l_suppkey, count(*) AS n_rows,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem GROUP BY l_suppkey""",
+    "windowed_metrics": """
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS w_epoch, event_type,
+       count(*) AS n, round(sum(value), 3) AS sum_value
+FROM events GROUP BY 1, 2""",
 }
+
+ORACLE_SQL["ann_topk"] = f"""
+WITH b AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, {_bucket_sql('CAST(embedding AS DOUBLE[])')} AS bucket
+  FROM embeddings
+), q AS (SELECT e AS qe, bucket AS qb FROM b WHERE vec_id = 0),
+scored AS (
+  SELECT vec_id, list_cosine_similarity(e, (SELECT qe FROM q)) AS cos
+  FROM b WHERE bucket = (SELECT qb FROM q)
+), ranked AS (
+  SELECT CAST(row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS INT) AS rank, vec_id, round(cos, 2) AS sim_bucket
+  FROM scored
+)
+SELECT rank, vec_id, sim_bucket FROM ranked WHERE rank <= 10"""
+
+ORACLE_SQL["embedding_dedup_pairs"] = f"""
+WITH b AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, {_bucket_sql('CAST(embedding AS DOUBLE[])')} AS bucket
+  FROM embeddings
+)
+SELECT a.vec_id AS a_id, b2.vec_id AS b_id, round(list_cosine_similarity(a.e, b2.e), 2) AS sim_bucket2
+FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+WHERE round(list_cosine_similarity(a.e, b2.e), 2) >= 0.9"""
 
 
 def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -348,6 +419,10 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "embedding_topk": q_embedding_topk,
         "label_centroids": q_label_centroids,
+        "ann_topk": q_ann_topk,
+        "embedding_dedup_pairs": q_embedding_dedup_pairs,
+        "salted_host_agg": q_salted_host_agg,
+        "windowed_metrics": q_windowed_metrics,
     }
 
 

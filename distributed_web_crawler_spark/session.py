@@ -18,6 +18,19 @@ def get_spark(
     shuffle_partitions: int | None = None,
     extra: dict | None = None,
 ) -> SparkSession:
+    # one BLAS thread per Python worker: with N workers on N cores, a
+    # multi-threaded OpenBLAS spawns N×N math threads and the pandas-UDF
+    # stages get SLOWER as parallelism rises (measured: verify stage 39 s at
+    # 8 cores → 55 s at 32 before this). Must be set before the JVM (and so
+    # the workers) start.
+    for var in (
+        "OMP_NUM_THREADS",
+        "OPENBLAS_NUM_THREADS",
+        "MKL_NUM_THREADS",
+        "VECLIB_MAXIMUM_THREADS",
+        "NUMEXPR_NUM_THREADS",
+    ):
+        os.environ.setdefault(var, "1")
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle_partitions = shuffle_partitions or max(cores, 8)
     b = (

@@ -27,6 +27,21 @@ VERIFY_SCHEMA = (
 FEATURES_SCHEMA = "url string, phash_dec bigint, luma double"
 
 
+_CHUNK = 32 * 1024 * 1024  # shard sub-range per exchange key
+
+
+def _exchange(df: DataFrame) -> DataFrame:
+    """Exchange for the point-read stage: keys (bucket, 32 MB offset chunk),
+    partition count pinned to the cluster's cores. Two traps this avoids:
+    hashing on bucket alone leaves ~37% of reducers empty (balls-in-bins),
+    and AQE coalesces byte-small exchanges even when the downstream pandas
+    stage is CPU-bound (measured 17 tasks for a 330k-row decode on 32
+    cores) — an explicit numPartitions repartition is exempt from AQE
+    coalescing."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, F.col("bucket"), (F.col("blob_offset") / F.lit(_CHUNK)).cast("int"))
+
+
 def fetch_join(spark: SparkSession, corpus_path: str, admitted: DataFrame) -> DataFrame:
     """admitted: (url, image_id, corpus_bucket). Returns admitted ⋈ slim
     metadata — a broadcast join against a bytes-free, bucket-pruned scan."""
@@ -87,7 +102,7 @@ def fetch_and_verify(spark, corpus_path: str, admitted: DataFrame, spec: C.Corpu
                 )
             yield pd.DataFrame(rows)
 
-    return fetched.repartition(F.col("bucket")).mapInPandas(verify, schema=VERIFY_SCHEMA)
+    return _exchange(fetched).mapInPandas(verify, schema=VERIFY_SCHEMA)
 
 
 def fetch_and_decode(spark, corpus_path: str, admitted: DataFrame) -> DataFrame:
@@ -113,4 +128,4 @@ def fetch_and_decode(spark, corpus_path: str, admitted: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame(rows)
 
-    return fetched.repartition(F.col("bucket")).mapInPandas(feats, schema=FEATURES_SCHEMA)
+    return _exchange(fetched).mapInPandas(feats, schema=FEATURES_SCHEMA)
