@@ -30,6 +30,49 @@ def robots_table(spark: SparkSession, n_hosts: int, policy: RobotsPolicy | None 
     )
 
 
+class RobotsCache:
+    """TTL'd robots.txt cache (north rule: "robots.txt caching"). Mirrors
+    the reference's cache discipline (refresh on expiry, serve from cache
+    within TTL — RedisCache/cache.go:55-103 applied to robots instead of
+    results). "Fetching" robots.txt is the deterministic fixture rule; a
+    real deployment swaps `_fetch` for an HTTP GET + parser. Driver-side
+    control plane: one entry per host."""
+
+    def __init__(self, policy: RobotsPolicy | None = None, ttl_s: float = 86400.0):
+        self.policy = policy or RobotsPolicy()
+        self.ttl_s = ttl_s
+        self._entries: dict[str, tuple[float, list]] = {}  # host -> (fetched_at, prefixes)
+        self.n_fetches = 0
+
+    def _fetch(self, host_num: int) -> list:
+        self.n_fetches += 1
+        return self.policy.disallow_prefixes(host_num)
+
+    def prefixes(self, host: str, now: float) -> list:
+        ent = self._entries.get(host)
+        if ent is None or now - ent[0] > self.ttl_s:
+            num = int(host[1:5]) if host.startswith("h") else 0
+            ent = (now, self._fetch(num))
+            self._entries[host] = ent
+        return ent[1]
+
+    def blocked_url(self, url: str, now: float) -> bool:
+        from ..fixtures.corpus import host_of_url
+
+        host = host_of_url(url)
+        path = url.split(host, 1)[1]
+        return any(path.startswith(p) for p in self.prefixes(host, now))
+
+    def to_table(self, spark: SparkSession) -> DataFrame:
+        rows = [
+            (host, prefixes, int(fetched_at), int(self.ttl_s))
+            for host, (fetched_at, prefixes) in sorted(self._entries.items())
+        ]
+        return spark.createDataFrame(
+            rows, "host string, disallow_prefixes array<string>, fetched_at long, ttl_s long"
+        )
+
+
 def filter_blocked(candidates: DataFrame, robots: DataFrame) -> DataFrame:
     """Table-driven variant: broadcast the robots table, drop candidates
     whose path matches any disallow prefix of their host."""

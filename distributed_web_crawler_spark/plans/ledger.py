@@ -43,6 +43,7 @@ _LEDGER_COLS = {
     "client_id": "object",
     "seed_url": "object",
     "depth": "int64",
+    "priority": "int64",  # north-rule priority queue: lower = served first
     "state": "object",  # pending | running | done
     "owner": "object",
     "assigned_at": "float64",
@@ -74,9 +75,19 @@ class JobLedger:
     def __init__(self, warehouse: str):
         self._t = _PandasTable(warehouse, "job_ledger", _LEDGER_COLS)
 
-    def submit(self, job_id: str, client_id: str, seed_url: str, depth: int, now: Optional[float] = None) -> bool:
+    def submit(
+        self,
+        job_id: str,
+        client_id: str,
+        seed_url: str,
+        depth: int,
+        now: Optional[float] = None,
+        priority: int = 0,
+    ) -> bool:
         """Admit a job exactly once; returns False if job_id already held
-        (the reference lock server's Accepted=false path, rpc.go:37)."""
+        (the reference lock server's Accepted=false path, rpc.go:37).
+        `priority` generalizes the reference's FIFO queue (north rule):
+        lower values are served first, ties FIFO by submit time."""
         now = time.time() if now is None else now
         df = self._t.read()
         if (df["job_id"] == job_id).any():
@@ -86,6 +97,7 @@ class JobLedger:
             "client_id": client_id,
             "seed_url": seed_url,
             "depth": depth,
+            "priority": priority,
             "state": "pending",
             "owner": "",
             "assigned_at": now,
@@ -95,11 +107,13 @@ class JobLedger:
         return True
 
     def acquire(self, owner: str, now: Optional[float] = None, timeout_s: float = JOB_TIMEOUT_S) -> Optional[dict]:
-        """Next job for a master: pending jobs FIFO; else the oldest running
-        job silent > timeout (O1 recovery scan)."""
+        """Next job for a master: pending jobs by (priority, submit time);
+        else the oldest running job silent > timeout (O1 recovery scan —
+        recovery ignores priority, matching library.go:23-28's pure
+        ORDER BY time_assigned)."""
         now = time.time() if now is None else now
         df = self._t.read()
-        cand = df[df["state"] == "pending"].sort_values("assigned_at")
+        cand = df[df["state"] == "pending"].sort_values(["priority", "assigned_at"])
         if cand.empty:
             cand = df[(df["state"] == "running") & (now - df["assigned_at"] > timeout_s)].sort_values(
                 "assigned_at"
@@ -132,7 +146,7 @@ class JobLedger:
         pdf = self._t.read()
         return spark.createDataFrame(
             pdf,
-            "job_id string, client_id string, seed_url string, depth long, "
+            "job_id string, client_id string, seed_url string, depth long, priority long, "
             "state string, owner string, assigned_at double, last_round long",
         )
 

@@ -46,6 +46,12 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.sql.files.maxPartitionBytes", "128m")
     )
+    # RAM-backed shuffle dirs: in single-box local mode every "executor"
+    # shares one disk, which otherwise becomes the non-scaling resource for
+    # shuffle-heavy stages (a real cluster shuffles over per-node disks/NICs)
+    if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+        os.makedirs("/dev/shm/spark-local", exist_ok=True)
+        b = b.config("spark.local.dir", "/dev/shm/spark-local")
     for k, v in (extra or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()

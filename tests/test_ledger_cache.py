@@ -33,6 +33,18 @@ def test_ledger_fifo_and_recovery(tmp_path):
     assert nxt["job_id"] == "J1"
 
 
+def test_ledger_priority_queue(tmp_path):
+    """North-rule priority queue: lower priority value first, FIFO ties;
+    recovery stealing stays pure-FIFO (library.go:23-28)."""
+    led = JobLedger(str(tmp_path))
+    led.submit("J1", "c0", "u1", 2, now=100.0)  # default priority 0
+    led.submit("J2", "c1", "u2", 2, now=101.0, priority=-5)  # urgent
+    led.submit("J3", "c2", "u3", 2, now=102.0, priority=0)
+    assert led.acquire("m", now=103.0)["job_id"] == "J2"
+    assert led.acquire("m", now=104.0)["job_id"] == "J1"  # FIFO within prio 0
+    assert led.acquire("m", now=105.0)["job_id"] == "J3"
+
+
 def test_ledger_complete(tmp_path):
     led = JobLedger(str(tmp_path))
     led.submit("J1", "c0", "u1", 2, now=100.0)
