@@ -30,8 +30,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 ONLY = os.environ.get("BENCH_ONLY", "")
-CRAWL_N = int(os.environ.get("BENCH_CRAWL_N", "200000"))
-CRAWL_SEEDS = int(os.environ.get("BENCH_CRAWL_SEEDS", "20000"))
+CRAWL_N = int(os.environ.get("BENCH_CRAWL_N", "500000"))
+CRAWL_SEEDS = int(os.environ.get("BENCH_CRAWL_SEEDS", "100000"))
 CACHE_DIR = os.environ.get("BENCH_CACHE_DIR", "/root/repo/.bench_cache")
 
 
@@ -58,7 +58,14 @@ def bench_crawl(spark):
     build_corpus(spark, spec, corpus_path)
     gen_sec = round(time.monotonic() - t0, 3)
 
-    wh = os.path.join(CACHE_DIR, f"bench_wh_{os.getpid()}_{int(time.time())}")
+    # round state goes to RAM: bench runs otherwise leave GBs of dirty pages
+    # whose writeback stalls the NEXT run (observed: load-avg 20+ of pure
+    # IO-wait minutes after a run, 3× wall inflation). Flush what previous
+    # work left behind before timing.
+    os.system("sync")
+    wh_root = "/dev/shm/bench_wh" if os.path.isdir("/dev/shm") else CACHE_DIR
+    os.makedirs(wh_root, exist_ok=True)
+    wh = os.path.join(wh_root, f"bench_wh_{os.getpid()}_{int(time.time())}")
     eng = FrontierEngine(
         spark, wh, corpus_path, spec,
         EngineConfig(use_bloom=True, verify_payloads=True, detailed_metrics=False),

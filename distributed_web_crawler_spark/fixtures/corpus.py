@@ -206,25 +206,35 @@ def _dct_matrix(n: int) -> np.ndarray:
     return m
 
 
-def phash64(arr: np.ndarray) -> int:
-    """8×8-DCT average hash: gray → 32×32 nearest-neighbor resize → DCT-II →
-    top-left 8×8 coefficients thresholded at their median → 64 bits
-    (signed int64, parquet-friendly)."""
-    global _DCT32
-    if _DCT32 is None:
-        _DCT32 = _dct_matrix(32)
+def gray32(arr: np.ndarray) -> np.ndarray:
+    """Gray 32×32 nearest-neighbor downsample — the phash preprocessing."""
     gray = arr.astype(np.float64).mean(axis=2)
     h, w = gray.shape
     yi = (np.arange(32) * h // 32).astype(np.intp)
     xi = (np.arange(32) * w // 32).astype(np.intp)
-    small = gray[np.ix_(yi, xi)]
-    coef = _DCT32 @ small @ _DCT32.T
-    block = coef[:8, :8].ravel()
-    med = np.median(block)
-    bits = 0
-    for b in (block > med).astype(np.uint64):
-        bits = (bits << 1) | int(b)
-    return bits - (1 << 64) if bits >= (1 << 63) else bits
+    return gray[np.ix_(yi, xi)]
+
+
+def phash64_batch(grays: np.ndarray) -> np.ndarray:
+    """8×8-DCT average hash for a stacked (n,32,32) gray batch — one
+    broadcast matmul pair instead of n small ones (the per-image version
+    spends its time in numpy call overhead). Bit-identical to phash64."""
+    global _DCT32
+    if _DCT32 is None:
+        _DCT32 = _dct_matrix(32)
+    coef = _DCT32 @ grays @ _DCT32.T  # (n,32,32)
+    block = coef[:, :8, :8].reshape(len(grays), 64)
+    med = np.median(block, axis=1, keepdims=True)
+    bits = (block > med).astype(np.uint64)
+    weights = np.uint64(1) << np.arange(63, -1, -1, dtype=np.uint64)
+    return (bits * weights).sum(axis=1).view(np.int64)
+
+
+def phash64(arr: np.ndarray) -> int:
+    """8×8-DCT average hash: gray → 32×32 nearest-neighbor resize → DCT-II →
+    top-left 8×8 coefficients thresholded at their median → 64 bits
+    (signed int64, parquet-friendly)."""
+    return int(phash64_batch(gray32(arr)[None, :, :])[0])
 
 
 def caption_of(i: int, spec: CorpusSpec) -> str:

@@ -55,18 +55,24 @@ def fetch_join(spark: SparkSession, corpus_path: str, admitted: DataFrame) -> Da
 
 
 def _read_ranges(pdf, corpus_path):
-    """Point-read payloads for one pandas batch, offset-ordered per shard."""
-    out = {}
-    order = pdf.sort_values(["bucket", "blob_offset"]).index
+    """Point-read payloads for one pandas batch. Returns a list aligned to
+    the batch's positional order; reads happen offset-ordered per shard."""
+    import numpy as np
+
+    buckets = pdf["bucket"].to_numpy()
+    offsets = pdf["blob_offset"].to_numpy()
+    lengths = pdf["blob_len"].to_numpy()
+    out = [None] * len(pdf)
+    order = np.lexsort((offsets, buckets))
     handles = {}
     try:
-        for idx in order:
-            b = int(pdf["bucket"][idx])
+        for pos in order:
+            b = int(buckets[pos])
             fh = handles.get(b)
             if fh is None:
                 fh = handles[b] = open(blob_path(corpus_path, b), "rb")
-            fh.seek(int(pdf["blob_offset"][idx]))
-            out[idx] = fh.read(int(pdf["blob_len"][idx]))
+            fh.seek(int(offsets[pos]))
+            out[pos] = fh.read(int(lengths[pos]))
     finally:
         for fh in handles.values():
             fh.close()
@@ -80,27 +86,56 @@ def fetch_and_verify(spark, corpus_path: str, admitted: DataFrame, spec: C.Corpu
     fetched = fetch_join(spark, corpus_path, admitted)
 
     def verify(batches):
+        import numpy as np
         import pandas as pd
 
         for pdf in batches:
             payloads = _read_ranges(pdf, corpus_path)
-            rows = []
-            for idx in pdf.index:
-                url = pdf["url"][idx]
-                i = C.index_of_url(url)
-                dec = decode_any(payloads[idx])
-                raw = C.raw_pixels(i, spec)
-                p = C.psnr(raw, dec)
-                rows.append(
-                    {
-                        "url": url,
-                        "psnr": min(p, 99.0),
-                        "phash_ok": C.phash64(dec) == pdf["phash"][idx],
-                        "caption_ok": pdf["caption"][idx] == C.caption_of(i, spec),
-                        "pixels_ok": bool((dec == raw).all()) if pdf["fmt"][idx] == "png" else p >= 40.0,
-                    }
-                )
-            yield pd.DataFrame(rows)
+            urls = pdf["url"].to_numpy()
+            fmts = pdf["fmt"].to_numpy()
+            captions = pdf["caption"].to_numpy()
+            phashes = pdf["phash"].to_numpy()
+            n = len(urls)
+            psnrs = np.empty(n)
+            pixels_ok = np.empty(n, dtype=bool)
+            caption_ok = np.empty(n, dtype=bool)
+            grays = np.empty((n, 32, 32))
+            decs, raws = [None] * n, [None] * n
+            by_shape: dict = {}
+            for k in range(n):
+                i = C.index_of_url(urls[k])
+                decs[k] = decode_any(payloads[k])
+                raws[k] = C.raw_pixels(i, spec)
+                caption_ok[k] = captions[k] == C.caption_of(i, spec)
+                by_shape.setdefault(decs[k].shape, []).append(k)
+            # per-shape vectorized PSNR / exactness / gray32 (≈3× faster
+            # than per-image numpy calls — call overhead dominates at 16-64px)
+            for shape, ks in by_shape.items():
+                idx = np.asarray(ks)
+                d = np.stack([decs[k] for k in ks]).astype(np.float64)
+                rw = np.stack([raws[k] for k in ks]).astype(np.float64)
+                mse = ((d - rw) ** 2).mean(axis=(1, 2, 3))
+                with np.errstate(divide="ignore"):
+                    p = 10.0 * np.log10(255.0 * 255.0 / mse)
+                psnrs[idx] = np.minimum(p, 99.0)
+                exact = (d == rw).all(axis=(1, 2, 3))
+                png_mask = fmts[idx] == "png"
+                pixels_ok[idx] = np.where(png_mask, exact, p >= 40.0)
+                g = d.mean(axis=3)
+                h, w = shape[0], shape[1]
+                yi = (np.arange(32) * h // 32).astype(np.intp)
+                xi = (np.arange(32) * w // 32).astype(np.intp)
+                grays[idx] = g[:, yi][:, :, xi]
+            phash_ok = C.phash64_batch(grays) == phashes if n else np.zeros(0, dtype=bool)
+            yield pd.DataFrame(
+                {
+                    "url": urls,
+                    "psnr": psnrs,
+                    "phash_ok": phash_ok,
+                    "caption_ok": caption_ok,
+                    "pixels_ok": pixels_ok,
+                }
+            )
 
     return _exchange(fetched).mapInPandas(verify, schema=VERIFY_SCHEMA)
 
@@ -111,21 +146,21 @@ def fetch_and_decode(spark, corpus_path: str, admitted: DataFrame) -> DataFrame:
     fetched = fetch_join(spark, corpus_path, admitted)
 
     def feats(batches):
+        import numpy as np
         import pandas as pd
 
         for pdf in batches:
             payloads = _read_ranges(pdf, corpus_path)
-            rows = []
-            for idx in pdf.index:
-                dec = decode_any(payloads[idx])
+            urls = pdf["url"].to_numpy()
+            n = len(urls)
+            lumas = np.empty(n)
+            grays = np.empty((n, 32, 32))
+            for k in range(n):
+                dec = decode_any(payloads[k])
                 means = dec.reshape(-1, 3).mean(axis=0)
-                rows.append(
-                    {
-                        "url": pdf["url"][idx],
-                        "phash_dec": C.phash64(dec),
-                        "luma": float(0.2126 * means[0] + 0.7152 * means[1] + 0.0722 * means[2]),
-                    }
-                )
-            yield pd.DataFrame(rows)
+                lumas[k] = 0.2126 * means[0] + 0.7152 * means[1] + 0.0722 * means[2]
+                grays[k] = C.gray32(dec)
+            ph = C.phash64_batch(grays) if n else np.zeros(0, dtype=np.int64)
+            yield pd.DataFrame({"url": urls, "phash_dec": ph, "luma": lumas})
 
     return _exchange(fetched).mapInPandas(feats, schema=FEATURES_SCHEMA)

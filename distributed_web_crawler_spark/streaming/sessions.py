@@ -1,0 +1,101 @@
+"""Custom stateful streaming operator via applyInPandasWithState —
+per-host fetch accounting over a stream of fetch events.
+
+The reference keeps per-connection/per-host liveness state in mutex-guarded
+maps swept by timer threads (idle-connection reaper server.go:139-162,
+worker backoff worker.go:87-116). The Structured-Streaming analog keeps the
+state in the engine's state store, keyed by host, updated per micro-batch:
+
+* ``host_fetch_totals``   — running (n_fetches, last_seen) per host, emitted
+  on every update (update output mode) — the live politeness/budget signal.
+* state eviction via GroupStateTimeout mirrors the reaper: a host silent for
+  the timeout has its state dropped (and a final summary emitted).
+
+State is per-key and partitioned by the streaming state store — at 10^10
+scale hosts shard across executors exactly like the Bloom buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = "host string, n_fetches long, first_ts timestamp, last_ts timestamp, closed boolean"
+STATE_SCHEMA = "n_fetches long, first_ts double, last_ts double"
+
+
+def _make_update(idle_timeout_ms: int):
+    def _update(key, pdfs, state: GroupState):
+        import datetime
+
+        import pandas as pd
+
+        def _dt(epoch):
+            return datetime.datetime.fromtimestamp(epoch, datetime.timezone.utc).replace(tzinfo=None)
+
+        host = key[0]
+        if state.hasTimedOut:
+            n, first, last = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {"host": [host], "n_fetches": [n], "first_ts": [_dt(first)], "last_ts": [_dt(last)], "closed": [True]}
+            )
+            return
+        n, first, last = state.get if state.exists else (0, None, None)
+        for pdf in pdfs:
+            ts = pdf["ts"]
+            n += len(pdf)
+            lo = ts.min().timestamp()
+            hi = ts.max().timestamp()
+            first = lo if first is None else min(first, lo)
+            last = hi if last is None else max(last, hi)
+        state.update((n, first, last))
+        state.setTimeoutDuration(idle_timeout_ms)
+        yield pd.DataFrame(
+            {"host": [host], "n_fetches": [n], "first_ts": [_dt(first)], "last_ts": [_dt(last)], "closed": [False]}
+        )
+
+    return _update
+
+
+def host_fetch_totals(fetch_events: DataFrame, idle_timeout_ms: int = 60_000) -> DataFrame:
+    """fetch_events: streaming (host string, ts timestamp, url string).
+    Emits the running per-host totals after each micro-batch (update mode);
+    idle hosts time out, emit a closed=True summary, and free their state.
+    NB: with trigger(availableNow) the query stays up until outstanding
+    state times out — pick idle_timeout_ms accordingly in drain-style runs."""
+    return fetch_events.groupBy("host").applyInPandasWithState(
+        _make_update(idle_timeout_ms),
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+def drain_to_memory(spark, df: DataFrame, name: str, done, max_wait_s: float = 120.0):
+    """Start `df` (update mode) into a memory sink and stop once `done(rows)`
+    says the state machine has drained. Needed because availableNow +
+    ProcessingTimeTimeout keeps the query alive in 'cleaning up state'
+    indefinitely even after all per-key state is removed (observed on
+    Spark 4.1) — awaitTermination would hang."""
+    import time
+
+    q = (
+        df.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    deadline = time.monotonic() + max_wait_s
+    try:
+        while time.monotonic() < deadline:
+            rows = spark.sql(f"SELECT * FROM {name}").collect()
+            if done(rows) or not q.isActive:
+                break
+            time.sleep(1.0)
+    finally:
+        if q.isActive:
+            q.stop()
+    return spark.sql(f"SELECT * FROM {name}").collect()
