@@ -46,35 +46,22 @@ def bench_queries(spark):
     return times
 
 
-def bench_crawl(spark):
-    from distributed_web_crawler_spark.fixtures.corpus import CorpusSpec, url_of
+def _one_crawl_trial(spark, spec, corpus_path):
+    from distributed_web_crawler_spark.fixtures.corpus import url_of
     from distributed_web_crawler_spark.functions.xxh64 import xxh64
     from distributed_web_crawler_spark.plans.frontier import EngineConfig, FrontierEngine
-    from distributed_web_crawler_spark.sources.corpus_source import build_corpus
 
-    spec = CorpusSpec(n=CRAWL_N)
-    corpus_path = os.path.join(CACHE_DIR, f"corpus_{CRAWL_N}")
-    t0 = time.monotonic()
-    build_corpus(spark, spec, corpus_path)
-    gen_sec = round(time.monotonic() - t0, 3)
-
-    # round state goes to RAM: bench runs otherwise leave GBs of dirty pages
-    # whose writeback stalls the NEXT run (observed: load-avg 20+ of pure
-    # IO-wait minutes after a run, 3× wall inflation). Flush what previous
-    # work left behind before timing.
+    # round state goes to RAM: runs otherwise leave GBs of dirty pages whose
+    # writeback stalls the next one. Flush leftover writeback before timing.
     os.system("sync")
     wh_root = "/dev/shm/bench_wh" if os.path.isdir("/dev/shm") else CACHE_DIR
     os.makedirs(wh_root, exist_ok=True)
-    wh = os.path.join(wh_root, f"bench_wh_{os.getpid()}_{int(time.time())}")
+    wh = os.path.join(wh_root, f"bench_wh_{os.getpid()}_{time.monotonic_ns()}")
     eng = FrontierEngine(
         spark, wh, corpus_path, spec,
         EngineConfig(use_bloom=True, verify_payloads=True, detailed_metrics=False),
     )
     seeds = sorted({url_of(xxh64(f"bench:seed:{j}") % spec.n, spec) for j in range(CRAWL_SEEDS)})
-    # warm the Python workers (one-time executor bootstrap, not drain work)
-    spark.range(0, 1024, numPartitions=CPUS).mapInPandas(
-        lambda it: it, schema="id long"
-    ).count()
     # seed the frontier (job admission/bootstrap), then time the DRAIN —
     # the BASELINE metric is frontier-drain throughput; at 10^10 scale the
     # one-time seed commit is amortized to nothing
@@ -93,10 +80,31 @@ def bench_crawl(spark):
         "urls_fetched": int(fetched),
         "wall_sec": round(wall, 3),
         "urls_per_sec": round(fetched / wall, 1),
+        "phase_ms": phase_totals,
+    }
+
+
+def bench_crawl(spark):
+    from distributed_web_crawler_spark.fixtures.corpus import CorpusSpec
+    from distributed_web_crawler_spark.sources.corpus_source import build_corpus
+
+    spec = CorpusSpec(n=CRAWL_N)
+    corpus_path = os.path.join(CACHE_DIR, f"corpus_{CRAWL_N}")
+    t0 = time.monotonic()
+    build_corpus(spark, spec, corpus_path)
+    gen_sec = round(time.monotonic() - t0, 3)
+    # warm the Python workers (one-time executor bootstrap, not drain work)
+    spark.range(0, 1024, numPartitions=CPUS).mapInPandas(lambda it: it, schema="id long").count()
+    # median of interleaved trials: the sandbox VM shows ±3× run-to-run
+    # noise (host CPU steal / writeback stalls); a single shot is a lottery
+    trials = [_one_crawl_trial(spark, spec, corpus_path) for _ in range(int(os.environ.get("BENCH_TRIALS", "3")))]
+    best = sorted(trials, key=lambda r: r["urls_per_sec"])[len(trials) // 2]
+    return {
+        **best,
         "corpus_pages": CRAWL_N,
         "corpus_gen_sec": gen_sec,
         "cpus": CPUS,
-        "phase_ms": phase_totals,
+        "all_trials_urls_per_sec": [r["urls_per_sec"] for r in trials],
     }
 
 

@@ -29,6 +29,7 @@ def run(cpus: int, crawl_n: str, seeds: str) -> dict:
         BENCH_ONLY="crawl",
         BENCH_CRAWL_N=crawl_n,
         BENCH_CRAWL_SEEDS=seeds,
+        BENCH_TRIALS="1",  # this script does its own interleaved trials
     )
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
