@@ -188,6 +188,21 @@ def q_salted_host_agg(spark, sf_dir):
     return salted_host_counts(_t(spark, sf_dir, "lineitem"))
 
 
+def q_clean_corpus_stats(spark, sf_dir):
+    """Composite training-data pipeline: exact-dedup keepers → quality gate
+    → per-language corpus stats — the shape of a real pretraining-data
+    cleaning job (each stage is an operator tested on its own)."""
+    docs = _t(spark, sf_dir, "documents")
+    keepers = D.exact_dedup(docs).select(F.col("keeper_id").alias("doc_id"))
+    q = T.quality_score(docs).filter(F.col("quality_ok"))
+    kept = docs.join(keepers, "doc_id").join(q.select("doc_id", "n_tokens"), "doc_id")
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_tokens"), 3).alias("avg_tokens"),
+        F.sum(F.col("n_chars")).cast("long").alias("total_chars"),
+    )
+
+
 def q_windowed_metrics(spark, sf_dir):
     from .streaming.windows import windowed_counts
 
@@ -374,6 +389,21 @@ SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS w_epoch, event_type,
 FROM events GROUP BY 1, 2""",
 }
 
+ORACLE_SQL["clean_corpus_stats"] = f"""
+WITH keepers AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+), quality AS (
+  SELECT doc_id, CAST(len({_TOKS}) AS INT) AS n_tokens
+  FROM documents
+  WHERE (len({_TOKS}) BETWEEN 20 AND 2000)
+    AND (CAST(len(list_filter({_TOKS}, x -> x IN ('the','a','and','of','to','in','is','it'))) AS DOUBLE)
+         / len({_TOKS}) < 0.5)
+)
+SELECT d.lang, count(*) AS n_docs, round(avg(q.n_tokens), 3) AS avg_tokens,
+       CAST(sum(d.n_chars) AS BIGINT) AS total_chars
+FROM documents d JOIN keepers k ON d.doc_id = k.doc_id JOIN quality q ON q.doc_id = d.doc_id
+GROUP BY d.lang"""
+
 ORACLE_SQL["ann_topk"] = f"""
 WITH b AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, {_bucket_sql('CAST(embedding AS DOUBLE[])')} AS bucket
@@ -423,6 +453,7 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dedup_pairs": q_embedding_dedup_pairs,
         "salted_host_agg": q_salted_host_agg,
         "windowed_metrics": q_windowed_metrics,
+        "clean_corpus_stats": q_clean_corpus_stats,
     }
 
 
