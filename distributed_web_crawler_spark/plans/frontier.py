@@ -243,6 +243,11 @@ class FrontierEngine:
         store = self.store(job_id)
         last = store.last_committed()
         if last is None:
+            # crash cleanup for a death BETWEEN the round-0 staging writes
+            # and commit_round(0): abort_round is a no-op unless an
+            # uncommitted r0 dir exists, whose leftover frontier parquet
+            # would otherwise fail the seed write with path-already-exists
+            store.abort_round(0)
             self._seed_round(store, seed_url, depth)
             last = 0
         else:
@@ -331,19 +336,22 @@ class FrontierEngine:
             # file count — pin it to the cores (CPU-bound Python stage)
             extract_input = admitted_keyed.repartition(self.spark.sparkContext.defaultParallelism)
             links = extract_links(extract_input, self.spec)
-            candidates = (
-                self._with_keys(links.select("url", "host"))
-                .dropDuplicates(["url_hash"])  # U3 within-round
-                .persist()
-            )
+            keyed = self._with_keys(links.select("url", "host"))
+            if self.cfg.robots is not None:
+                # blocked URLs never enter the seen set, so the robots filter
+                # commutes with both dedup stages; counting BEFORE the
+                # within-round dedup is multiplicity-preserving — every
+                # discovery occurrence of a blocked URL counts, matching the
+                # oracle (oracle/crawler.py:141-147) at any depth, not just
+                # where the fixture happens to have no within-round dups
+                keyed = keyed.withColumn("_blocked", blocked_expr(F.col("url"))).persist()
+                persisted.append(keyed)
+                n_blocked = keyed.filter(F.col("_blocked")).count()
+                keyed = keyed.filter(~F.col("_blocked")).drop("_blocked")
+            candidates = keyed.dropDuplicates(["url_hash"]).persist()  # U3 within-round
             persisted.append(candidates)
             n_candidates = candidates.count() if self.cfg.detailed_metrics else -1
             fresh = self._filter_new(store, candidates, persisted)  # U2 cross-depth
-            if self.cfg.robots is not None:
-                fresh = fresh.withColumn("_blocked", blocked_expr(F.col("url"))).persist()
-                persisted.append(fresh)
-                n_blocked = fresh.filter(F.col("_blocked")).count()
-                fresh = fresh.filter(~F.col("_blocked")).drop("_blocked")
             new_rows = fresh.withColumn("depth", F.lit(d + 1)).select(
                 "url", "host", "url_hash", "seen_bucket", "depth"
             )

@@ -166,13 +166,15 @@ class JobCache:
 
     def put_if_deeper(self, seed_url: str, depth: int, results: List[List[str]], now: Optional[float] = None) -> bool:
         """AddIfNoLargerResultPresent (cache.go:78-103): keep the deepest
-        result per seed URL."""
+        result per seed URL. Expired rows are treated as absent — in the
+        reference, Redis has already evicted the key (cache.go:78-86), so a
+        repeat job after TTL expiry must always be able to re-cache."""
         now = time.time() if now is None else now
         df = self._t.read()
-        m = df["seed_url"] == seed_url
+        m = (df["seed_url"] == seed_url) & (df["expires_at"] > now)
         if m.any() and int(df.loc[m, "depth"].iloc[0]) >= depth:
             return False
-        df = df[~m]
+        df = df[df["seed_url"] != seed_url]  # purge stale/shallower rows
         row = {"seed_url": seed_url, "depth": depth, "results": results, "expires_at": now + self.ttl_s}
         self._t.write(pd.concat([df, pd.DataFrame([row])], ignore_index=True))
         return True

@@ -89,6 +89,42 @@ def test_robots_matches_oracle(spark, corpus_1k, tmp_path):
     assert total_blocked == o.n_blocked
 
 
+def test_robots_blocked_count_deep(spark, corpus_1k, tmp_path):
+    """Regression (ADVICE r1): n_blocked must be multiplicity-preserving —
+    a blocked URL discovered twice within one round counts twice, like the
+    oracle's per-occurrence check (oracle/crawler.py:141-147). The depth-3
+    fixture has no within-round duplicate of a blocked URL; depth 6 from
+    seed 1 does, and diverged before the fix (oracle 3 vs engine 2)."""
+    spec, _ = corpus_1k
+    rob = RobotsPolicy()
+    eng = engine_for(spark, tmp_path, corpus_1k, EngineConfig(robots=rob, use_bloom=False))
+    eng.run_job("robd", C.url_of(1, spec), 6)
+    o = crawl(1, 6, spec, robots=rob)
+    assert_matches_oracle(eng, "robd", 1, 6, o, spec)
+    total_blocked = sum(r["n_blocked"] for r in eng.metrics_df("robd").collect())
+    assert total_blocked == o.n_blocked
+
+
+def test_resume_after_crash_before_first_commit(spark, corpus_1k, tmp_path):
+    """Regression (ADVICE r1): a crash BETWEEN the round-0 staging writes and
+    commit_round(0) must not wedge the job — resume drops the uncommitted r0
+    dir instead of failing the seed write with path-already-exists."""
+    import os
+
+    spec, _ = corpus_1k
+    seed_i = pick_seed(spec)
+    eng = engine_for(spark, tmp_path, corpus_1k, EngineConfig(use_bloom=False))
+    store = eng.store("crash0")
+    os.makedirs(store.round_dir(0), exist_ok=True)
+    spark.createDataFrame([(C.url_of(seed_i, spec),)], "url string").write.parquet(
+        store.frontier_path(0)
+    )
+    assert store.last_committed() is None  # staged but never committed
+    s = eng.run_job("crash0", C.url_of(seed_i, spec), 2)
+    assert s["done"]
+    assert_matches_oracle(eng, "crash0", seed_i, 2, crawl(seed_i, 2, spec), spec)
+
+
 def test_full_stack_matches_oracle(spark, corpus_1k, tmp_path):
     spec, _ = corpus_1k
     pol, rob = PolitenessPolicy(), RobotsPolicy()

@@ -68,6 +68,21 @@ def test_cache_depth_monotone_and_truncation(tmp_path):
     assert cache.get("u1", 4, now=5.0)[3] == ["e"]
 
 
+def test_cache_reaccepts_after_expiry(tmp_path):
+    """Regression (ADVICE r1): an EXPIRED row must not block put_if_deeper —
+    in the reference Redis has evicted the key (cache.go:78-86), so a repeat
+    job at any depth re-caches after TTL expiry."""
+    cache = JobCache(str(tmp_path), ttl_s=10.0)
+    assert cache.put_if_deeper("u1", 3, [["a"], ["b"], ["c"]], now=0.0)
+    # unexpired deeper row still blocks a shallower result
+    assert not cache.put_if_deeper("u1", 2, [["a"], ["x"]], now=5.0)
+    # expired row is absent: the shallower upsert must now succeed
+    assert cache.put_if_deeper("u1", 2, [["a"], ["x"]], now=20.0)
+    assert cache.get("u1", 2, now=21.0) == [["a"], ["x"]]
+    # and the stale deep row is gone, not resurrectable
+    assert cache.get("u1", 3, now=22.0) is None
+
+
 def test_cache_ttl_refresh_on_read(tmp_path):
     cache = JobCache(str(tmp_path), ttl_s=100.0)
     cache.put_if_deeper("u1", 1, [["a"]], now=0.0)
