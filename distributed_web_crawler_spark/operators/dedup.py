@@ -15,8 +15,28 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..functions.portable_hash import hash60
 
-N_MINHASHES = 4
+N_MINHASHES = 32
+ROWS_PER_BAND = 4  # 8 bands of 4 — candidate s-curve threshold ≈ 0.59
 SHINGLE = 3  # words per shingle
+
+# universal-hash family over one portable base hash: h_i(s) = (a_i·h30 + b_i) mod P.
+# h30 is the md5-based hash60 folded to 30 bits so a_i·h30 + b_i < 2^63
+# (no overflow in either engine, Spark ANSI mode included).
+_MH_P = 1073741789  # largest prime below 2^30
+_MH_MASK = (1 << 30) - 1
+
+
+def mh_coeffs(k: int = N_MINHASHES):
+    """Deterministic (a_i, b_i) pairs from md5 — pure data, no RNG state;
+    the oracle SQL inlines the identical literals."""
+    import hashlib
+
+    out = []
+    for i in range(k):
+        a = int(hashlib.md5(f"mh:a:{i}".encode()).hexdigest()[:15], 16) % (_MH_P - 1) + 1
+        b = int(hashlib.md5(f"mh:b:{i}".encode()).hexdigest()[:15], 16) % _MH_P
+        out.append((a, b))
+    return out
 
 
 def exact_dedup(docs: DataFrame) -> DataFrame:
@@ -46,30 +66,43 @@ def shingles(docs: DataFrame) -> DataFrame:
 
 
 def minhash_signatures(docs: DataFrame, k: int = N_MINHASHES) -> DataFrame:
-    """k MinHash values per doc over 3-word shingles: h_i = min over shingles
-    of hash60(concat(i, ':', shingle))."""
-    sh = shingles(docs)
+    """k MinHash values per doc over 3-word shingles, affine universal-hash
+    family h_i(s) = (a_i·h30(s) + b_i) mod P over ONE portable md5 base hash
+    per shingle. (Hashing the shingle k separate times would cost k md5s per
+    row; the affine family is the textbook MinHash construction and needs
+    one — at k=32 that is the difference between a narrow map and 32 md5
+    evaluations per shingle.)"""
+    sh = shingles(docs).select(
+        "doc_id", hash60(F.col("s")).bitwiseAND(F.lit(_MH_MASK)).alias("h30")
+    )
     aggs = [
-        F.min(hash60(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"h{i}") for i in range(k)
+        F.min(F.pmod(F.lit(a) * F.col("h30") + F.lit(b), F.lit(_MH_P))).alias(f"h{i}")
+        for i, (a, b) in enumerate(mh_coeffs(k))
     ]
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-def minhash_lsh_pairs(docs: DataFrame, k: int = N_MINHASHES, rows_per_band: int = 2) -> DataFrame:
+def minhash_lsh_pairs(docs: DataFrame, k: int = N_MINHASHES, rows_per_band: int = ROWS_PER_BAND) -> DataFrame:
     """LSH banding: docs agreeing on all hashes of any band become candidate
-    near-dup pairs — the scale path that avoids the quadratic compare."""
+    near-dup pairs — the scale path that avoids the quadratic compare.
+    Band keys come out of ONE explode over the signature row (a per-band
+    union of selects would re-run the signature aggregate once per band)."""
     sig = minhash_signatures(docs, k)
-    bands = []
-    for b in range(k // rows_per_band):
-        cols = [F.col(f"h{b * rows_per_band + j}") for j in range(rows_per_band)]
-        bands.append(
-            sig.select(
-                "doc_id", F.lit(b).alias("band"), F.concat_ws("_", *[c.cast("string") for c in cols]).alias("key")
+    n_bands = k // rows_per_band
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "_", *[F.col(f"h{b * rows_per_band + j}").cast("string") for j in range(rows_per_band)]
+                ).alias("key"),
             )
-        )
-    bkeys = bands[0]
-    for x in bands[1:]:
-        bkeys = bkeys.unionByName(x)
+            for b in range(n_bands)
+        ]
+    )
+    bkeys = sig.select("doc_id", F.explode(band_arr).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
     a = bkeys.alias("a")
     b_ = bkeys.alias("b")
     return (
@@ -80,9 +113,40 @@ def minhash_lsh_pairs(docs: DataFrame, k: int = N_MINHASHES, rows_per_band: int 
     )
 
 
+def jaccard_verified_pairs(
+    docs: DataFrame,
+    threshold: float = 0.25,
+    k: int = N_MINHASHES,
+    rows_per_band: int = ROWS_PER_BAND,
+) -> DataFrame:
+    """Exact shingle-set Jaccard computed ONLY over MinHash-LSH candidate
+    pairs — the scale path (the exposed query). The quadratic all-pairs
+    shingle self-join never runs: a hot shingle shared by m docs costs m²
+    rows in the naive join, whereas here the compare set is bounded by what
+    LSH banding already blocked together. Output: (a_id, b_id, jaccard)."""
+    cand = minhash_lsh_pairs(docs, k, rows_per_band)
+    sh = shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    inter = (
+        cand.join(sh.select(F.col("doc_id").alias("a_id"), "s"), "a_id")
+        .join(sh.select(F.col("doc_id").alias("b_id"), "s"), ["b_id", "s"])
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("a_id"), F.col("n_sh").alias("na")), "a_id")
+        .join(sizes.select(F.col("doc_id").alias("b_id"), F.col("n_sh").alias("nb")), "b_id")
+        .withColumn("jaccard", F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", "jaccard")
+    )
+
+
 def jaccard_pairs(docs: DataFrame, threshold: float = 0.25) -> DataFrame:
-    """Exact shingle-set Jaccard over candidate pairs that share ≥1 shingle.
-    (n-gram Jaccard near-dup; the verify stage behind LSH at scale.)"""
+    """Exact shingle-set Jaccard over ALL pairs sharing ≥1 shingle — the
+    quadratic small-data form, kept as the test oracle for
+    jaccard_verified_pairs' recall and NOT exposed as a driver query: the
+    raw shingle self-join makes a hot shingle a quadratic reducer at scale."""
     sh = shingles(docs)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")

@@ -35,11 +35,14 @@ def cosine_topk(embeddings: DataFrame, query_vec: Sequence[float], k: int = 10) 
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     cos = _dot(F.col("embedding"), q) / (_norm(F.col("embedding")) * _norm(q))
     scored = embeddings.select("vec_id", cos.alias("cos"))
+    # distributed top-k: orderBy().limit(k) compiles to TakeOrderedAndProject
+    # (per-partition heaps + a k-row driver merge) — a global Window here
+    # would drag the ENTIRE scored table through one partition to rank it.
+    # rank attaches after the limit, when only k rows remain.
+    top = scored.orderBy(F.col("cos").desc(), F.col("vec_id").asc()).limit(k)
     w = Window.orderBy(F.col("cos").desc(), F.col("vec_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("rank", "vec_id", F.round("cos", 2).alias("sim_bucket"))
+    return top.select(
+        F.row_number().over(w).alias("rank"), "vec_id", F.round("cos", 2).alias("sim_bucket")
     )
 
 

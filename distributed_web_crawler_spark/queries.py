@@ -18,7 +18,7 @@ Crawl-engine slices run on the TPC-H-ish tables:
 
 Training-data ops run on documents/embeddings:
   exact_dedup, token_count, quality_score, lang_id, doc_fingerprint,
-  minhash_signature, minhash_lsh_pairs, jaccard_pairs, simhash,
+  minhash_signature, minhash_lsh_pairs, jaccard_verified_pairs, simhash,
   embedding_topk, label_centroids
 """
 
@@ -147,8 +147,8 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     return D.minhash_lsh_pairs(_t(spark, sf_dir, "documents"))
 
 
-def q_jaccard_pairs(spark, sf_dir):
-    return D.jaccard_pairs(_t(spark, sf_dir, "documents"))
+def q_jaccard_verified_pairs(spark, sf_dir):
+    return D.jaccard_verified_pairs(_t(spark, sf_dir, "documents"))
 
 
 def q_simhash(spark, sf_dir):
@@ -222,16 +222,31 @@ sh AS (
 )"""
 
 
+# the (a_i, b_i) literals and modulus are the very values the Spark operator
+# uses (operators/dedup.py mh_coeffs) — both engines hash identically
+_SHB_CTE = f"shb AS (SELECT doc_id, ({hash60_sql('s')} & {D._MH_MASK}) AS h30 FROM sh)"
+
+
 def _minhash_cols() -> str:
     parts = []
-    for i in range(D.N_MINHASHES):
-        expr = hash60_sql("concat('" + str(i) + ":', s)")
-        parts.append(f"min({expr}) AS h{i}")
+    for i, (a, b) in enumerate(D.mh_coeffs(D.N_MINHASHES)):
+        parts.append(f"min(({a} * h30 + {b}) % {D._MH_P}) AS h{i}")
     return ", ".join(parts)
 
 
 def _minhash_select() -> str:
-    return f"WITH {_SHINGLES_CTE} SELECT doc_id, {_minhash_cols()} FROM sh GROUP BY doc_id"
+    return f"WITH {_SHINGLES_CTE}, {_SHB_CTE} SELECT doc_id, {_minhash_cols()} FROM shb GROUP BY doc_id"
+
+
+def _bkeys_sql() -> str:
+    """Band-key projection of the sig CTE, one SELECT per band."""
+    selects = []
+    for b in range(D.N_MINHASHES // D.ROWS_PER_BAND):
+        key = " || '_' || ".join(
+            f"CAST(h{b * D.ROWS_PER_BAND + j} AS VARCHAR)" for j in range(D.ROWS_PER_BAND)
+        )
+        selects.append(f"SELECT doc_id, {b} AS band, {key} AS key FROM sig")
+    return " UNION ALL ".join(selects)
 
 
 def _simhash_sql() -> str:
@@ -340,25 +355,26 @@ FROM documents""",
 SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp FROM documents""",
     "minhash_signature": _minhash_select(),
     "minhash_lsh_pairs": f"""
-WITH {_SHINGLES_CTE},
-sig AS (
-  SELECT doc_id, {_minhash_cols()}
-  FROM sh GROUP BY doc_id
-),
-bkeys AS (
-  SELECT doc_id, 0 AS band, concat(CAST(h0 AS VARCHAR), '_', CAST(h1 AS VARCHAR)) AS key FROM sig
-  UNION ALL
-  SELECT doc_id, 1 AS band, concat(CAST(h2 AS VARCHAR), '_', CAST(h3 AS VARCHAR)) AS key FROM sig
-)
+WITH {_SHINGLES_CTE}, {_SHB_CTE},
+sig AS (SELECT doc_id, {_minhash_cols()} FROM shb GROUP BY doc_id),
+bkeys AS ({_bkeys_sql()})
 SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
 FROM bkeys a JOIN bkeys b ON a.band = b.band AND a.key = b.key
 WHERE a.doc_id < b.doc_id""",
-    "jaccard_pairs": f"""
-WITH {_SHINGLES_CTE},
+    "jaccard_verified_pairs": f"""
+WITH {_SHINGLES_CTE}, {_SHB_CTE},
+sig AS (SELECT doc_id, {_minhash_cols()} FROM shb GROUP BY doc_id),
+bkeys AS ({_bkeys_sql()}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM bkeys a JOIN bkeys b ON a.band = b.band AND a.key = b.key
+  WHERE a.doc_id < b.doc_id
+),
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
 inter AS (
-  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
-  FROM sh a JOIN sh b ON a.s = b.s WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+  SELECT c.a_id, c.b_id, count(*) AS inter
+  FROM cand c JOIN sh a ON a.doc_id = c.a_id JOIN sh b ON b.doc_id = c.b_id AND b.s = a.s
+  GROUP BY 1, 2
 )
 SELECT a_id, b_id, round(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 4) AS jaccard
 FROM inter JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id
@@ -445,7 +461,7 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "minhash_signature": q_minhash_signature,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
-        "jaccard_pairs": q_jaccard_pairs,
+        "jaccard_verified_pairs": q_jaccard_verified_pairs,
         "simhash": q_simhash,
         "embedding_topk": q_embedding_topk,
         "label_centroids": q_label_centroids,
