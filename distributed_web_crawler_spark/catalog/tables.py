@@ -127,32 +127,73 @@ class JobStateStore:
 
 
 class AtomicTable:
-    """Versioned single-parquet table with an atomic CURRENT pointer.
+    """Versioned single-parquet table with compare-and-swap commits.
 
     Used for the job ledger (D7), job cache (D6) and robots cache — tables
     whose updates are read-modify-write MERGEs at tiny cardinality (one row
-    per job / host). On a cluster this is an Iceberg MERGE INTO."""
+    per job / host). On a cluster this is an Iceberg MERGE INTO with a
+    conditional catalog commit.
+
+    Version n is committed by atomically LINKING a fully-written marker file
+    into ``commit_v{n}`` — ``os.link`` fails with EEXIST if another writer
+    already owns n, so claim and publish are ONE atomic act with no crash
+    window between them (a claim-file-then-flip-pointer scheme can wedge the
+    table if the claimant dies mid-way). The marker's content names the
+    staging data dir, written beforehand under a unique name. This is the
+    reference lock server's one-owner-per-version guarantee
+    (Server/LockServer/lockServer.go:131-147, Postgres row lock) re-expressed
+    as optimistic CAS: concurrent read-modify-writes race on the next
+    version; the loser re-reads and retries, so admission/acquisition stays
+    exactly-once across PROCESSES, not just threads."""
 
     def __init__(self, warehouse: str, name: str):
         self.dir = os.path.join(warehouse, name)
         os.makedirs(self.dir, exist_ok=True)
-        self._current = os.path.join(self.dir, "CURRENT")
+
+    def _marker(self, v: int) -> str:
+        return os.path.join(self.dir, f"commit_v{v:06d}")
 
     def current_version(self) -> Optional[int]:
-        try:
-            with open(self._current) as f:
-                return int(f.read().strip())
-        except FileNotFoundError:
-            return None
+        best = None
+        for nm in os.listdir(self.dir):
+            if nm.startswith("commit_v"):
+                v = int(nm[8:])
+                best = v if best is None or v > best else best
+        return best
+
+    def path_of(self, v: int) -> str:
+        with open(self._marker(v)) as f:
+            return os.path.join(self.dir, f.read().strip())
 
     def current_path(self) -> Optional[str]:
         v = self.current_version()
-        return None if v is None else os.path.join(self.dir, f"v{v:06d}")
+        return None if v is None else self.path_of(v)
 
     def new_version_path(self) -> str:
-        v = (self.current_version() or 0) + 1
-        return os.path.join(self.dir, f"v{v:06d}")
+        """Unique staging dir; becomes a version only via publish()."""
+        import uuid
 
-    def publish(self, path: str) -> None:
-        v = int(os.path.basename(path)[1:])
-        _atomic_write(self._current, str(v).encode())
+        return os.path.join(self.dir, f"d_{uuid.uuid4().hex[:12]}")
+
+    _AUTO = object()  # sentinel: None is a real expectation ("table empty")
+
+    def publish(self, path: str, expected_version=_AUTO) -> bool:
+        """CAS-commit `path` as version expected_version+1 (None = expect an
+        empty table). Returns False — and removes the staging dir — if
+        another writer committed that version first (caller re-reads and
+        retries). Passing no expectation re-reads the current version,
+        i.e. blind last-writer-wins publish."""
+        if expected_version is AtomicTable._AUTO:
+            expected_version = self.current_version()
+        v = (expected_version or 0) + 1
+        fd, tmp = tempfile.mkstemp(dir=self.dir, prefix=".tmpmk_")
+        with os.fdopen(fd, "w") as f:
+            f.write(os.path.basename(path))
+        try:
+            os.link(tmp, self._marker(v))
+        except FileExistsError:
+            shutil.rmtree(path, ignore_errors=True)
+            return False
+        finally:
+            os.unlink(tmp)
+        return True

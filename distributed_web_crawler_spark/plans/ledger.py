@@ -5,7 +5,9 @@ The reference's control plane — the Postgres lock server
 Redis result cache (RedisCache/cache.go:19-103, ClientFacingServer/
 server.go:279-295) — is driver-side metadata, like an Iceberg catalog. It
 is realized here as tiny versioned parquet tables (catalog.AtomicTable,
-atomic CURRENT-pointer flips; on a cluster: Iceberg MERGE INTO). Cardinality
+compare-and-swap version commits, so admission/acquisition is exactly-once
+across competing master PROCESSES — the reference lock server's job; on a
+cluster: Iceberg MERGE INTO with a conditional commit). Cardinality
 is one row per job / seed URL, so pandas+pyarrow on the driver is the honest
 tool; all bulk data stays in Spark.
 
@@ -56,19 +58,43 @@ class _PandasTable:
         self.table = AtomicTable(warehouse, name)
         self.cols = cols
 
-    def read(self) -> pd.DataFrame:
-        path = self.table.current_path()
-        if path is None:
-            return pd.DataFrame({c: pd.Series(dtype=t) for c, t in self.cols.items()})
-        return pq.read_table(path + "/data.parquet").to_pandas()
+    def _empty(self) -> pd.DataFrame:
+        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in self.cols.items()})
 
-    def write(self, df: pd.DataFrame) -> None:
+    def _read_at(self, v: Optional[int]) -> pd.DataFrame:
+        if v is None:
+            return self._empty()
+        return pq.read_table(self.table.path_of(v) + "/data.parquet").to_pandas()
+
+    def read(self) -> pd.DataFrame:
+        return self._read_at(self.table.current_version())
+
+    def _stage(self, df: pd.DataFrame) -> str:
         import os
 
         path = self.table.new_version_path()
         os.makedirs(path, exist_ok=True)
         pq.write_table(pa.Table.from_pandas(df, preserve_index=False), path + "/data.parquet")
-        self.table.publish(path)
+        return path
+
+    def write(self, df: pd.DataFrame) -> None:
+        """Blind overwrite (single-writer contexts / tests)."""
+        while not self.table.publish(self._stage(df)):
+            pass
+
+    def mutate(self, fn):
+        """Optimistic read-modify-write. `fn(df) -> (new_df | None, result)`;
+        None skips the write (read-only decision). On a CAS conflict —
+        another process committed between our read and publish — re-read
+        and re-apply `fn`, so the decision is always made against the state
+        it ends up being applied to (exactly-once across processes)."""
+        while True:
+            v0 = self.table.current_version()
+            out, result = fn(self._read_at(v0))
+            if out is None:
+                return result
+            if self.table.publish(self._stage(out), expected_version=v0):
+                return result
 
 
 class JobLedger:
@@ -89,9 +115,6 @@ class JobLedger:
         `priority` generalizes the reference's FIFO queue (north rule):
         lower values are served first, ties FIFO by submit time."""
         now = time.time() if now is None else now
-        df = self._t.read()
-        if (df["job_id"] == job_id).any():
-            return False
         row = {
             "job_id": job_id,
             "client_id": client_id,
@@ -103,8 +126,13 @@ class JobLedger:
             "assigned_at": now,
             "last_round": -1,
         }
-        self._t.write(pd.concat([df, pd.DataFrame([row])], ignore_index=True))
-        return True
+
+        def fn(df):
+            if (df["job_id"] == job_id).any():
+                return None, False
+            return pd.concat([df, pd.DataFrame([row])], ignore_index=True), True
+
+        return self._t.mutate(fn)
 
     def acquire(self, owner: str, now: Optional[float] = None, timeout_s: float = JOB_TIMEOUT_S) -> Optional[dict]:
         """Next job for a master: pending jobs by (priority, submit time);
@@ -112,30 +140,36 @@ class JobLedger:
         recovery ignores priority, matching library.go:23-28's pure
         ORDER BY time_assigned)."""
         now = time.time() if now is None else now
-        df = self._t.read()
-        cand = df[df["state"] == "pending"].sort_values(["priority", "assigned_at"])
-        if cand.empty:
-            cand = df[(df["state"] == "running") & (now - df["assigned_at"] > timeout_s)].sort_values(
-                "assigned_at"
-            )
-        if cand.empty:
-            return None
-        idx = cand.index[0]
-        df.loc[idx, ["state", "owner", "assigned_at"]] = ["running", owner, now]
-        self._t.write(df)
-        return df.loc[idx].to_dict()
+
+        def fn(df):
+            cand = df[df["state"] == "pending"].sort_values(["priority", "assigned_at"])
+            if cand.empty:
+                cand = df[
+                    (df["state"] == "running") & (now - df["assigned_at"] > timeout_s)
+                ].sort_values("assigned_at")
+            if cand.empty:
+                return None, None
+            idx = cand.index[0]
+            df.loc[idx, ["state", "owner", "assigned_at"]] = ["running", owner, now]
+            return df, df.loc[idx].to_dict()
+
+        return self._t.mutate(fn)
 
     def progress(self, job_id: str, last_round: int, now: Optional[float] = None) -> None:
         now = time.time() if now is None else now
-        df = self._t.read()
-        m = df["job_id"] == job_id
-        df.loc[m, ["last_round", "assigned_at"]] = [last_round, now]
-        self._t.write(df)
+
+        def fn(df):
+            df.loc[df["job_id"] == job_id, ["last_round", "assigned_at"]] = [last_round, now]
+            return df, None
+
+        self._t.mutate(fn)
 
     def complete(self, job_id: str) -> None:
-        df = self._t.read()
-        df.loc[df["job_id"] == job_id, "state"] = "done"
-        self._t.write(df)
+        def fn(df):
+            df.loc[df["job_id"] == job_id, "state"] = "done"
+            return df, None
+
+        self._t.mutate(fn)
 
     def get(self, job_id: str) -> Optional[dict]:
         df = self._t.read()
@@ -156,13 +190,36 @@ _CACHE_COLS = {
     "depth": "int64",
     "results": "object",  # list<list<str>> — the DoneJob [][]string payload
     "expires_at": "float64",
+    "hits": "int64",  # LFU counter (redis.conf allkeys-lfu analog)
 }
+
+CACHE_MAX_ENTRIES = 10_000  # redis.conf:7,13 caps memory at 500 MB allkeys-lfu
 
 
 class JobCache:
-    def __init__(self, warehouse: str, ttl_s: float = CACHE_TTL_S):
+    def __init__(self, warehouse: str, ttl_s: float = CACHE_TTL_S, max_entries: int = CACHE_MAX_ENTRIES):
         self._t = _PandasTable(warehouse, "job_cache", _CACHE_COLS)
         self.ttl_s = ttl_s
+        self.max_entries = max_entries
+
+    def _evict(self, df: pd.DataFrame, keep_url: str, now: float) -> pd.DataFrame:
+        """Size bound: expired rows go first (free), then lowest (hits,
+        expires_at) — LFU with LRU-ish tiebreak, like allkeys-lfu. The row
+        just written is exempt (Redis seeds new keys with a nonzero LFU
+        counter for the same reason)."""
+        if self.max_entries is None or len(df) <= self.max_entries:
+            return df
+        df = df[(df["expires_at"] > now) | (df["seed_url"] == keep_url)]
+        overflow = len(df) - self.max_entries
+        if overflow <= 0:
+            return df
+        victims = (
+            df[df["seed_url"] != keep_url]
+            .sort_values(["hits", "expires_at"])
+            .head(overflow)
+            .index
+        )
+        return df.drop(victims)
 
     def put_if_deeper(self, seed_url: str, depth: int, results: List[List[str]], now: Optional[float] = None) -> bool:
         """AddIfNoLargerResultPresent (cache.go:78-103): keep the deepest
@@ -170,28 +227,37 @@ class JobCache:
         reference, Redis has already evicted the key (cache.go:78-86), so a
         repeat job after TTL expiry must always be able to re-cache."""
         now = time.time() if now is None else now
-        df = self._t.read()
-        m = (df["seed_url"] == seed_url) & (df["expires_at"] > now)
-        if m.any() and int(df.loc[m, "depth"].iloc[0]) >= depth:
-            return False
-        df = df[df["seed_url"] != seed_url]  # purge stale/shallower rows
-        row = {"seed_url": seed_url, "depth": depth, "results": results, "expires_at": now + self.ttl_s}
-        self._t.write(pd.concat([df, pd.DataFrame([row])], ignore_index=True))
-        return True
+        row = {"seed_url": seed_url, "depth": depth, "results": results, "expires_at": now + self.ttl_s, "hits": 0}
+
+        def fn(df):
+            m = (df["seed_url"] == seed_url) & (df["expires_at"] > now)
+            if m.any() and int(df.loc[m, "depth"].iloc[0]) >= depth:
+                return None, False
+            df = df[df["seed_url"] != seed_url]  # purge stale/shallower rows
+            df = pd.concat([df, pd.DataFrame([row])], ignore_index=True)
+            return self._evict(df, seed_url, now), True
+
+        return self._t.mutate(fn)
 
     def get(self, seed_url: str, requested_depth: int, now: Optional[float] = None) -> Optional[List[List[str]]]:
         """F5 + O2 + W4: serve iff cached depth >= requested and unexpired;
-        truncate to requested depth; refresh TTL on hit."""
+        truncate to requested depth; refresh TTL + bump LFU counter on hit."""
         now = time.time() if now is None else now
-        df = self._t.read()
-        m = df[(df["seed_url"] == seed_url) & (df["expires_at"] > now)]
-        if m.empty or int(m["depth"].iloc[0]) < requested_depth:
-            return None
-        idx = m.index[0]
-        df.loc[idx, "expires_at"] = now + self.ttl_s  # refresh-on-read
-        self._t.write(df)
-        results = m["results"].iloc[0]
-        return [list(level) for level in results[:requested_depth]]
+
+        def fn(df):
+            m = df[(df["seed_url"] == seed_url) & (df["expires_at"] > now)]
+            if m.empty or int(m["depth"].iloc[0]) < requested_depth:
+                return None, None
+            idx = m.index[0]
+            df.loc[idx, "expires_at"] = now + self.ttl_s  # refresh-on-read
+            df.loc[idx, "hits"] += 1
+            results = m["results"].iloc[0]
+            return df, [list(level) for level in results[:requested_depth]]
+
+        return self._t.mutate(fn)
+
+    def __len__(self) -> int:
+        return len(self._t.read())
 
 
 @dataclass
