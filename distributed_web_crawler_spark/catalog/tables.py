@@ -10,11 +10,15 @@ class body with `writeTo(...).append()` / MERGE inside one transaction while
 every caller stays unchanged:
 
 * ``JobStateStore`` — per-crawl-job round log. Each round directory holds
-  parquet deltas (seen, metrics), a full snapshot of the (small) pending
-  frontier, and touched Bloom-filter bucket blobs; the round becomes visible
-  only when ``commit.json`` lands via atomic rename. Untouched Bloom buckets
-  are inherited by manifest reference, never copied (what Iceberg does with
-  unchanged data files across snapshots).
+  ONE bucket-partitioned parquet file-set of the round's newly-discovered
+  URLs (``new/`` — doubling as the round's seen-set delta), an optional
+  ``deferred/`` set (politeness remainder), metrics, and touched Bloom
+  bucket blobs; the round becomes visible only when ``commit.json`` lands
+  via atomic rename. The PENDING FRONTIER is a manifest in the commit —
+  ``[relpath, depth, n_rows]`` file-set references — so depths the round
+  did not touch carry over by reference and are never rewritten, and both
+  Bloom blobs and frontier data inherit across rounds the way Iceberg
+  snapshots share unchanged data files.
 * ``AtomicTable`` — tiny versioned table (job ledger, job cache, robots
   cache): write new version dir, flip a CURRENT pointer file atomically.
 """
@@ -56,11 +60,17 @@ class JobStateStore:
     def _commit_path(self, r: int) -> str:
         return os.path.join(self.round_dir(r), "commit.json")
 
-    def seen_delta_path(self, r: int) -> str:
-        return os.path.join(self.round_dir(r), "seen_delta")
+    def new_path(self, r: int) -> str:
+        """Round r's newly-discovered URLs (bucket-partitioned parquet) —
+        one write serving as frontier component AND seen-set delta."""
+        return os.path.join(self.round_dir(r), "new")
 
-    def frontier_path(self, r: int) -> str:
-        return os.path.join(self.round_dir(r), "frontier")
+    def seen_delta_path(self, r: int) -> str:
+        return self.new_path(r)
+
+    def deferred_path(self, r: int) -> str:
+        """Politeness remainder of the depth being drained (same layout)."""
+        return os.path.join(self.round_dir(r), "deferred")
 
     def metrics_path(self, r: int) -> str:
         return os.path.join(self.round_dir(r), "metrics")

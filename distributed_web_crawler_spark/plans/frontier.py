@@ -22,8 +22,13 @@ Scale shape per round (what survives 1000 executors × 100 TB):
   parquet. False positives re-check exactly; URLs are never lost.
 * politeness window: one shuffle by host, budgets data-determined so
   local[8] and local[32] produce identical admissions.
-* every count the driver needs is taken from DataFrames it is about to
-  write anyway; nothing else is collected.
+* writes: the round's new URLs are written ONCE, bucket-partitioned, in a
+  single fused pass that also updates the Bloom blobs and returns per-bucket
+  row counts; the pending frontier is a manifest of such file-sets in the
+  commit, so depths a round does not drain carry over by reference and are
+  never rewritten (Iceberg-snapshot-style data-file sharing).
+* every count the driver needs comes back from manifest arithmetic or the
+  write task's own stats; nothing is re-scanned to be counted.
 """
 
 from __future__ import annotations
@@ -47,7 +52,6 @@ from ..operators.robots import blocked_expr
 from ..oracle.crawler import PolitenessPolicy, RobotsPolicy
 
 FRONTIER_SCHEMA = "url string, host string, url_hash bigint, seen_bucket int, depth int"
-SEEN_COLS = ["url_hash", "url", "depth", "seen_bucket"]
 
 # driver-side pool for concurrent Spark actions within a round (independent
 # job DAGs: payload verify ∥ extraction pipeline; seen/bloom/frontier writes)
@@ -129,6 +133,17 @@ class FrontierEngine:
             df = df.filter(F.col("seen_bucket").isin(buckets))
         return df
 
+    def _read_components(self, paths: List[str]) -> DataFrame:
+        """Read frontier file-sets (bucket-partitioned parquet) as one DF.
+        Per-path read + union so the explicit schema (and any later bucket
+        filter) pushes into every root as a PartitionFilter."""
+        from functools import reduce
+
+        return reduce(
+            DataFrame.unionByName,
+            [self.spark.read.schema(FRONTIER_SCHEMA).parquet(p) for p in paths],
+        )
+
     # ------------------------------------------------------------ seed
     def _seed_round(self, store: JobStateStore, seed_url, depth_limit: int) -> None:
         """seed_url: one URL or a list — the 10^10-frontier drain scenario
@@ -143,20 +158,25 @@ class FrontierEngine:
         if self.cfg.robots is not None:
             df = df.filter(~blocked_expr(F.col("url")))
         df = df.withColumn("depth", F.lit(0)).select("url", "host", "url_hash", "seen_bucket", "depth")
-        df.write.parquet(store.frontier_path(0))
-        seeded = self.spark.read.parquet(store.frontier_path(0))
-        n = seeded.count()
-        touched: List[int] = []
-        if n > 0:
-            seeded.select(*SEEN_COLS).repartition(F.col("seen_bucket")).write.partitionBy(
-                "seen_bucket"
-            ).parquet(store.seen_delta_path(0))
-            touched = self._update_blooms(store, 0, seeded)
+        stats = self._write_bucketed(store, store.new_path(0), df, bloom_round=0)
+        n = sum(s[1] for s in stats)
+        manifest = [[self._rel(store, store.new_path(0)), 0, n]] if n > 0 else []
         store.commit_round(
             0,
-            {"depth": 0, "sub_round": -1, "depth_limit": depth_limit, "n_pending_after": n, "done": n == 0},
-            touched_blooms=touched,
+            {
+                "depth": 0,
+                "sub_round": -1,
+                "depth_limit": depth_limit,
+                "n_pending_after": n,
+                "frontier_manifest": manifest,
+                "done": n == 0,
+            },
+            touched_blooms=[s[0] for s in stats],
         )
+
+    @staticmethod
+    def _rel(store: JobStateStore, path: str) -> str:
+        return os.path.relpath(path, store.dir)
 
     # ------------------------------------------------------------ seen probe
     def _filter_new(self, store: JobStateStore, candidates: DataFrame, persisted: Optional[list] = None) -> DataFrame:
@@ -204,28 +224,52 @@ class FrontierEngine:
         survivors = positives.join(seen.select("url_hash"), "url_hash", "left_anti")
         return fresh.unionByName(survivors)
 
-    def _update_blooms(self, store: JobStateStore, r: int, new_rows: DataFrame) -> List[int]:
-        if not self.cfg.use_bloom:
-            return []
-        blobs = store.bloom_blobs()
+    def _write_bucketed(
+        self, store: JobStateStore, out_dir: str, rows: DataFrame, bloom_round: Optional[int] = None
+    ) -> List[tuple]:
+        """ONE shuffle, one pass: group rows by seen_bucket; each task writes
+        its bucket's parquet part (hive layout, `seen_bucket=<b>/`) AND — for
+        new-URL sets — folds the bucket's hashes into the Bloom blob, then
+        returns (bucket, n). Fusing the writes replaces the three separate
+        jobs of the v1 loop (stage `_new` parquet → read back → rewrite as
+        seen delta + bloom pass + full next-frontier rewrite) that made
+        `writes_ms` the only phase DEGRADING from 8→32 cores. Worker-side
+        pyarrow writes are the low-level-writer pattern (what an Iceberg
+        writer task does); atomicity still comes from commit.json, and
+        abort_round() sweeps orphans. Row counts come back with the stats —
+        no read-back count job."""
+        blobs = store.bloom_blobs() if (self.cfg.use_bloom and bloom_round is not None) else None
         params = self.cfg.bloom
+        update_blooms = blobs is not None
+        r = bloom_round
 
         def build(key, pdf):
+            import uuid
+
             import pandas as pd
+            import pyarrow as pa
+            import pyarrow.parquet as pq
 
             bucket = int(key[0])
-            filt = B.load_blob(blobs.get(bucket, ""), params)
-            B.add_hashes(filt, pdf["url_hash"].to_numpy(), params)
-            B.write_blob(store.bloom_blob_path(r, bucket), filt)
+            part_dir = os.path.join(out_dir, f"seen_bucket={bucket}")
+            os.makedirs(part_dir, exist_ok=True)
+            table = pa.table(
+                {
+                    "url": pa.array(pdf["url"], pa.string()),
+                    "host": pa.array(pdf["host"], pa.string()),
+                    "url_hash": pa.array(pdf["url_hash"], pa.int64()),
+                    "depth": pa.array(pdf["depth"], pa.int32()),
+                }
+            )
+            pq.write_table(table, os.path.join(part_dir, f"part-{uuid.uuid4().hex}.parquet"))
+            if update_blooms:
+                filt = B.load_blob(blobs.get(bucket, ""), params)
+                B.add_hashes(filt, pdf["url_hash"].to_numpy(), params)
+                B.write_blob(store.bloom_blob_path(r, bucket), filt)
             return pd.DataFrame({"bucket": [bucket], "n": [len(pdf)]})
 
-        touched = (
-            new_rows.select("seen_bucket", "url_hash")
-            .groupBy("seen_bucket")
-            .applyInPandas(build, schema="bucket int, n long")
-            .collect()
-        )
-        return [row["bucket"] for row in touched]
+        stats = rows.groupBy("seen_bucket").applyInPandas(build, schema="bucket int, n long").collect()
+        return [(row["bucket"], row["n"]) for row in stats]
 
     # ------------------------------------------------------------ main loop
     def run_job(
@@ -286,18 +330,22 @@ class FrontierEngine:
 
         t = time.monotonic()
         prev = store.read_commit(r - 1)
-        frontier = self.spark.read.parquet(store.frontier_path(r - 1))
-        # one job: per-depth histogram gives both the cursor (min depth) and,
-        # when no politeness throttles, the admitted count
-        by_depth = {row["depth"]: row["n"] for row in frontier.groupBy("depth").agg(F.count("*").alias("n")).collect()}
-        d = min(by_depth)
+        # the pending frontier is a MANIFEST of committed file-sets
+        # ([relpath, depth, n_rows]); the depth cursor and the no-politeness
+        # admitted count are manifest arithmetic — zero Spark jobs — and only
+        # the file-sets at the drained depth are ever opened
+        manifest = prev["frontier_manifest"]
+        d = min(e[1] for e in manifest)
         sub = prev["sub_round"] + 1 if prev["depth"] == d else 0
+        n_pending_d = sum(e[2] for e in manifest if e[1] == d)
+        pending = self._read_components(
+            [os.path.join(store.dir, e[0]) for e in manifest if e[1] == d]
+        )
 
-        pending = frontier.filter(F.col("depth") == d)
         admitted, deferred = admit(pending, self.cfg.politeness)
         persisted = [admitted.persist()]
-        n_admitted = by_depth[d] if self.cfg.politeness is None else admitted.count()
-        carry = frontier.filter(F.col("depth") != d).unionByName(deferred)
+        n_admitted = n_pending_d if self.cfg.politeness is None else admitted.count()
+        n_deferred = n_pending_d - n_admitted
         t = _mark("admit_ms", t)
 
         # ---- fetch: bucket-pruned corpus scan ⋈ broadcast(admitted)
@@ -356,44 +404,38 @@ class FrontierEngine:
                 "url", "host", "url_hash", "seen_bucket", "depth"
             )
 
-        # ---- stage writes into the round dir (visible only after commit)
+        # ---- stage writes into the round dir (visible only after commit):
+        # ONE fused shuffle+write job for the new URLs (parquet + seen delta
+        # + bloom blobs all from the same pass, counts from its stats — no
+        # read-back), a second only when politeness actually deferred rows,
+        # and NO next-frontier rewrite: untouched depths carry over in the
+        # manifest by reference
         t = _mark("extract_dedup_ms", t)
+        deferred_future = (
+            _POOL.submit(self._write_bucketed, store, store.deferred_path(r), deferred)
+            if n_deferred > 0
+            else None
+        )
         touched: List[int] = []
+        n_new = 0
         if new_rows is not None:
-            new_rows.write.parquet(store.round_dir(r) + "/_new")
-            new_committed = self.spark.read.schema(FRONTIER_SCHEMA).parquet(store.round_dir(r) + "/_new")
-            n_new = new_committed.count()
-            t = _mark("new_write_ms", t)
-            next_frontier = carry.unionByName(new_committed)
-        else:
-            n_new = 0
-            new_committed = None
-            next_frontier = carry
-
-        # independent output writes run as concurrent Spark jobs — they all
-        # consume the already-materialized _new parquet / cached frontier
-        def _write_seen():
-            # one file per bucket per round: without the repartition,
-            # partitionBy writes (input partitions × buckets) tiny files
-            # and later rounds pay the listing/footer cost
-            new_committed.select(*SEEN_COLS).repartition(F.col("seen_bucket")).write.partitionBy(
-                "seen_bucket"
-            ).parquet(store.seen_delta_path(r))
-
-        futures = []
-        if n_new > 0:
-            futures.append(_POOL.submit(_write_seen))
-            futures.append(_POOL.submit(self._update_blooms, store, r, new_committed))
-        futures.append(_POOL.submit(lambda: next_frontier.write.parquet(store.frontier_path(r))))
-        results = [f.result() for f in futures]
-        touched = results[1] if n_new > 0 else []
-        # arithmetic, not a read-back job: frontier rows are conserved
-        n_pending_after = prev["n_pending_after"] - n_admitted + n_new
+            stats = self._write_bucketed(store, store.new_path(r), new_rows, bloom_round=r)
+            touched = [s[0] for s in stats]
+            n_new = sum(s[1] for s in stats)
+        if deferred_future is not None:
+            deferred_future.result()
         for df_ in persisted:
             df_.unpersist()
         t = _mark("writes_ms", t)
         payload_stats = payload_future.result() if payload_future is not None else None
         _mark("fetch_verify_wait_ms", t)
+
+        next_manifest = [e for e in manifest if e[1] != d]
+        if n_deferred > 0:
+            next_manifest.append([self._rel(store, store.deferred_path(r)), d, n_deferred])
+        if n_new > 0:
+            next_manifest.append([self._rel(store, store.new_path(r)), d + 1, n_new])
+        n_pending_after = sum(e[2] for e in next_manifest)
 
         info = {
             "depth": int(d),
@@ -402,6 +444,7 @@ class FrontierEngine:
             "n_admitted": n_admitted,
             "n_new": n_new,
             "n_pending_after": n_pending_after,
+            "frontier_manifest": next_manifest,
             "done": n_pending_after == 0,
         }
         if payload_stats:

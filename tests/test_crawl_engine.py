@@ -117,7 +117,7 @@ def test_resume_after_crash_before_first_commit(spark, corpus_1k, tmp_path):
     store = eng.store("crash0")
     os.makedirs(store.round_dir(0), exist_ok=True)
     spark.createDataFrame([(C.url_of(seed_i, spec),)], "url string").write.parquet(
-        store.frontier_path(0)
+        store.new_path(0)
     )
     assert store.last_committed() is None  # staged but never committed
     s = eng.run_job("crash0", C.url_of(seed_i, spec), 2)
