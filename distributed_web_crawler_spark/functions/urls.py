@@ -27,13 +27,16 @@ def host_of(url: Column) -> Column:
 
 
 def host_num(url: Column) -> Column:
-    """Numeric host id for the synthetic h%04d.test scheme."""
-    return F.regexp_extract(url, r"^https?://h(\d+)\.test", 1).cast("int")
+    """Numeric host id for the synthetic h%04d.test scheme. try_cast: a URL
+    outside the scheme (e.g. a malformed client seed) yields NULL, not an
+    ANSI cast error — NULL-host rows fall through every robots/politeness
+    predicate and the job completes with just the seed seen."""
+    return F.regexp_extract(url, r"^https?://h(\d+)\.test", 1).try_cast("int")
 
 
 def page_index(url: Column) -> Column:
-    """Inverse of fixtures url_of: .../p/<i> → i."""
-    return F.regexp_extract(url, r"/p/(\d+)$", 1).cast("long")
+    """Inverse of fixtures url_of: .../p/<i> → i (NULL if not a corpus URL)."""
+    return F.regexp_extract(url, r"/p/(\d+)$", 1).try_cast("long")
 
 
 def path_of(url: Column) -> Column:

@@ -28,7 +28,10 @@ from ..oracle.crawler import PolitenessPolicy
 def budget_col(host_col, policy: PolitenessPolicy):
     """max_per_round as a Catalyst expression over the synthetic h%04d.test
     host scheme: crawl_delay = 500*(1 + h%4) ms (FIXTURES.md §3)."""
-    h = F.regexp_extract(host_col, r"h(\d+)\.test", 1).cast("int")
+    # try_cast: a host outside the synthetic scheme (malformed client seed)
+    # yields NULL; greatest() skips NULLs, so unknown hosts get the
+    # conservative budget of 1 instead of an ANSI cast error
+    h = F.regexp_extract(host_col, r"h(\d+)\.test", 1).try_cast("int")
     delay = 500 * (1 + F.pmod(h, F.lit(4)))
     return F.greatest(F.lit(1), F.floor(F.lit(policy.round_duration_ms) / delay)).cast("int")
 

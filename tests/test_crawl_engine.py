@@ -164,6 +164,21 @@ def test_payload_verification(spark, corpus_1k, tmp_path):
         assert s["min_psnr"] >= 40.0
 
 
+def test_malformed_seed_completes_with_seed_only(spark, corpus_1k, tmp_path):
+    """A seed outside the corpus URL scheme must not crash (ANSI casts on
+    the host/page regexes yield NULL via try_cast, falling through robots
+    and getting politeness budget 1): the job completes with only the seed
+    seen and no extracted links."""
+    spec, _ = corpus_1k
+    from distributed_web_crawler_spark.oracle.crawler import PolitenessPolicy
+
+    cfg = EngineConfig(politeness=PolitenessPolicy(), robots=RobotsPolicy(), use_bloom=True)
+    eng = engine_for(spark, tmp_path, corpus_1k, cfg)
+    s = eng.run_job("mal", "http://nonsense.example/xyz", 2)
+    assert s["done"] and s["n_seen"] == 1
+    assert eng.client_payload("mal", 2) == [["http://nonsense.example/xyz"], []]
+
+
 def test_blocked_seed_yields_empty_job(spark, corpus_1k, tmp_path):
     spec, _ = corpus_1k
     rob = RobotsPolicy()
