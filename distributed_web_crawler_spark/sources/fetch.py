@@ -86,55 +86,21 @@ def fetch_and_verify(spark, corpus_path: str, admitted: DataFrame, spec: C.Corpu
     fetched = fetch_join(spark, corpus_path, admitted)
 
     def verify(batches):
-        import numpy as np
         import pandas as pd
+
+        from ..functions.images import verify_batch
 
         for pdf in batches:
             payloads = _read_ranges(pdf, corpus_path)
-            urls = pdf["url"].to_numpy()
-            fmts = pdf["fmt"].to_numpy()
-            captions = pdf["caption"].to_numpy()
-            phashes = pdf["phash"].to_numpy()
-            n = len(urls)
-            psnrs = np.empty(n)
-            pixels_ok = np.empty(n, dtype=bool)
-            caption_ok = np.empty(n, dtype=bool)
-            grays = np.empty((n, 32, 32))
-            decs, raws = [None] * n, [None] * n
-            by_shape: dict = {}
-            for k in range(n):
-                i = C.index_of_url(urls[k])
-                decs[k] = decode_any(payloads[k])
-                raws[k] = C.raw_pixels(i, spec)
-                caption_ok[k] = captions[k] == C.caption_of(i, spec)
-                by_shape.setdefault(decs[k].shape, []).append(k)
-            # per-shape vectorized PSNR / exactness / gray32 (≈3× faster
-            # than per-image numpy calls — call overhead dominates at 16-64px)
-            for shape, ks in by_shape.items():
-                idx = np.asarray(ks)
-                d = np.stack([decs[k] for k in ks]).astype(np.float64)
-                rw = np.stack([raws[k] for k in ks]).astype(np.float64)
-                mse = ((d - rw) ** 2).mean(axis=(1, 2, 3))
-                with np.errstate(divide="ignore"):
-                    p = 10.0 * np.log10(255.0 * 255.0 / mse)
-                psnrs[idx] = np.minimum(p, 99.0)
-                exact = (d == rw).all(axis=(1, 2, 3))
-                png_mask = fmts[idx] == "png"
-                pixels_ok[idx] = np.where(png_mask, exact, p >= 40.0)
-                g = d.mean(axis=3)
-                h, w = shape[0], shape[1]
-                yi = (np.arange(32) * h // 32).astype(np.intp)
-                xi = (np.arange(32) * w // 32).astype(np.intp)
-                grays[idx] = g[:, yi][:, :, xi]
-            phash_ok = C.phash64_batch(grays) == phashes if n else np.zeros(0, dtype=bool)
             yield pd.DataFrame(
-                {
-                    "url": urls,
-                    "psnr": psnrs,
-                    "phash_ok": phash_ok,
-                    "caption_ok": caption_ok,
-                    "pixels_ok": pixels_ok,
-                }
+                verify_batch(
+                    pdf["url"].to_numpy(),
+                    payloads,
+                    pdf["fmt"].to_numpy(),
+                    pdf["caption"].to_numpy(),
+                    pdf["phash"].to_numpy(),
+                    spec,
+                )
             )
 
     return _exchange(fetched).mapInPandas(verify, schema=VERIFY_SCHEMA)
