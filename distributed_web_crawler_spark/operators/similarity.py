@@ -103,6 +103,70 @@ def embedding_dedup_pairs(embeddings: DataFrame, dim: int, threshold: float = 0.
     )
 
 
+def ivf_centroids(dim: int, n_centroids: int) -> List[List[float]]:
+    """Deterministic fixed-codebook IVF centroids in [-1, 1), md5-derived
+    like the LSH hyperplanes — no RNG state, identical everywhere, inlined
+    as literals into the oracle SQL. (A learned k-means codebook slots in
+    unchanged: assignment/probe below only consume the vectors. The fixed
+    codebook keeps the oracle static — it cannot re-run k-means.)"""
+    import hashlib
+
+    out = []
+    for c in range(n_centroids):
+        vec = []
+        for i in range(dim):
+            h = int(hashlib.md5(f"ivf:{c}:{i}".encode()).hexdigest()[:15], 16)
+            vec.append((h % 2_000_001) / 1_000_000.0 - 1.0)
+        out.append(vec)
+    return out
+
+
+def _cell_expr(e: Column, dim: int, n_centroids: int) -> Column:
+    """0-based index of the max (rounded) centroid dot product. Rounding to
+    6 dp before the argmax keeps the assignment bit-identical across
+    engines whose float summation order differs."""
+    dots = F.array(
+        *[
+            F.round(_dot(e, F.array(*[F.lit(x) for x in cvec])), 6)
+            for cvec in ivf_centroids(dim, n_centroids)
+        ]
+    )
+    return (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
+
+
+def ivf_assign(embeddings: DataFrame, dim: int, n_centroids: int = 16) -> DataFrame:
+    """IVF inverted-list assignment: each vector joins the cell of its
+    nearest centroid — one narrow map, no shuffle; at 100 TB the cell column
+    becomes the partition key of the vector table."""
+    return embeddings.withColumn("cell", _cell_expr(F.col("embedding"), dim, n_centroids))
+
+
+def ivf_probe_cells(query_vec: Sequence[float], dim: int, n_centroids: int, n_probe: int) -> List[int]:
+    """The query's n_probe nearest cells (ties by cell index), driver-side."""
+    scored = []
+    for idx, cvec in enumerate(ivf_centroids(dim, n_centroids)):
+        d = round(sum(float(a) * b for a, b in zip(query_vec, cvec)), 6)
+        scored.append((-d, idx))
+    return [idx for _, idx in sorted(scored)[:n_probe]]
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec: Sequence[float],
+    dim: int,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF approximate top-k: exact cosine rank restricted to the query's
+    n_probe nearest inverted lists — the second ANN scale path next to
+    sign-LSH (ann_topk). Scan cost ≈ n_probe/n_centroids of brute force;
+    recall is tuned by n_probe."""
+    probe = ivf_probe_cells(query_vec, dim, n_centroids, n_probe)
+    assigned = ivf_assign(embeddings, dim, n_centroids)
+    return cosine_topk(assigned.filter(F.col("cell").isin(probe)).drop("cell"), query_vec, k)
+
+
 def label_centroid_norms(embeddings: DataFrame) -> DataFrame:
     """Per-label aggregate stats: count + mean vector norm (rounded)."""
     return (

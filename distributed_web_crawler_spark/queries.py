@@ -182,6 +182,21 @@ def q_embedding_dedup_pairs(spark, sf_dir):
     return S.embedding_dedup_pairs(_t(spark, sf_dir, "embeddings"), EMB_DIM, 0.9, N_PLANES)
 
 
+N_CENTROIDS = 16
+N_PROBE = 4
+
+
+def q_ivf_topk(spark, sf_dir):
+    return S.ivf_topk(
+        _t(spark, sf_dir, "embeddings"),
+        _query_vec(spark, sf_dir),
+        EMB_DIM,
+        k=10,
+        n_centroids=N_CENTROIDS,
+        n_probe=N_PROBE,
+    )
+
+
 def q_salted_host_agg(spark, sf_dir):
     from .operators.skew import salted_host_counts
 
@@ -434,6 +449,45 @@ scored AS (
 )
 SELECT rank, vec_id, sim_bucket FROM ranked WHERE rank <= 10"""
 
+def _ivf_dots_sql(vec_expr: str) -> str:
+    """Per-centroid rounded dot products of a DOUBLE[] expression — the
+    centroids are the SAME md5-derived codebook the Spark operator uses
+    (operators/similarity.py ivf_centroids), inlined as literals."""
+    from .operators.similarity import ivf_centroids
+
+    dots = []
+    for cvec in ivf_centroids(EMB_DIM, N_CENTROIDS):
+        lit = "[" + ", ".join(str(x) for x in cvec) + "]"
+        dots.append(f"round(list_dot_product({vec_expr}, {lit}), 6)")
+    return "[" + ", ".join(dots) + "]"
+
+
+ORACLE_SQL["ivf_topk"] = f"""
+WITH b AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+),
+cells AS (
+  SELECT vec_id, e, (list_position(ds, list_max(ds)) - 1) AS cell
+  FROM (SELECT vec_id, e, {_ivf_dots_sql('e')} AS ds FROM b)
+),
+q AS (SELECT e AS qe FROM b WHERE vec_id = 0),
+qcells AS (
+  SELECT i - 1 AS cell
+  FROM (SELECT unnest({_ivf_dots_sql('(SELECT qe FROM q)')}) AS v,
+               unnest(range(1, {N_CENTROIDS} + 1)) AS i)
+  ORDER BY v DESC, i ASC LIMIT {N_PROBE}
+),
+scored AS (
+  SELECT c.vec_id, list_cosine_similarity(c.e, (SELECT qe FROM q)) AS cos
+  FROM cells c JOIN qcells ON c.cell = qcells.cell
+),
+ranked AS (
+  SELECT CAST(row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS INT) AS rank,
+         vec_id, round(cos, 2) AS sim_bucket
+  FROM scored
+)
+SELECT rank, vec_id, sim_bucket FROM ranked WHERE rank <= 10"""
+
 ORACLE_SQL["embedding_dedup_pairs"] = f"""
 WITH b AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, {_bucket_sql('CAST(embedding AS DOUBLE[])')} AS bucket
@@ -466,6 +520,7 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "label_centroids": q_label_centroids,
         "ann_topk": q_ann_topk,
+        "ivf_topk": q_ivf_topk,
         "embedding_dedup_pairs": q_embedding_dedup_pairs,
         "salted_host_agg": q_salted_host_agg,
         "windowed_metrics": q_windowed_metrics,
