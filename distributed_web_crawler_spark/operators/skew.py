@@ -18,10 +18,22 @@ from typing import List
 from pyspark.sql import Column, DataFrame, functions as F
 
 
-def salted_agg(df: DataFrame, key: str, n_salts: int, aggs: List[Column], finals: List[Column]) -> DataFrame:
+def salted_agg(
+    df: DataFrame,
+    key: str,
+    n_salts: int,
+    aggs: List[Column],
+    finals: List[Column],
+    salt_cols: List[str] | None = None,
+) -> DataFrame:
     """aggs: partial aggregate columns (aliased); finals: matching final
-    re-aggregations over the partial names (aliased to output names)."""
-    salted = df.withColumn("_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts)))
+    re-aggregations over the partial names (aliased to output names).
+    The salt hashes `salt_cols` (default: every non-key column), so it is a
+    pure function of the DATA — a retried/recomputed task salts identically
+    (monotonically_increasing_id would not: it depends on row position and
+    changes across retries; result-invariant but lineage-nondeterministic)."""
+    salt_cols = salt_cols or [c for c in df.columns if c != key]
+    salted = df.withColumn("_salt", F.pmod(F.xxhash64(*[F.col(c) for c in salt_cols]), F.lit(n_salts)))
     partial = salted.groupBy(key, "_salt").agg(*aggs)
     return partial.groupBy(key).agg(*finals)
 

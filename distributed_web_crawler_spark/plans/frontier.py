@@ -244,8 +244,6 @@ class FrontierEngine:
         r = bloom_round
 
         def build(key, pdf):
-            import uuid
-
             import pandas as pd
             import pyarrow as pa
             import pyarrow.parquet as pq
@@ -261,7 +259,13 @@ class FrontierEngine:
                     "depth": pa.array(pdf["depth"], pa.int32()),
                 }
             )
-            pq.write_table(table, os.path.join(part_dir, f"part-{uuid.uuid4().hex}.parquet"))
+            # deterministic name + atomic replace: a retried/speculative task
+            # attempt overwrites the same file (same row set) instead of
+            # appending a duplicate part — groupBy gives one call per bucket
+            path = os.path.join(part_dir, f"part-{bucket:05d}.parquet")
+            tmp = os.path.join(part_dir, f".part-{bucket:05d}.tmp")  # dot-prefix: invisible to Spark listings
+            pq.write_table(table, tmp)
+            os.replace(tmp, path)
             if update_blooms:
                 filt = B.load_blob(blobs.get(bucket, ""), params)
                 B.add_hashes(filt, pdf["url_hash"].to_numpy(), params)

@@ -268,9 +268,17 @@ class CrawlService:
     engine: "object"  # plans.frontier.FrontierEngine
     ledger: JobLedger
     cache: JobCache
+    outbox: Optional[str] = None  # egress dir: finished DoneJobs land here (S5→S6)
 
     def submit(self, job_id: str, client_id: str, seed_url: str, depth: int, now=None) -> bool:
         return self.ledger.submit(job_id, client_id, seed_url, depth, now=now)
+
+    def _publish(self, job_id: str, results: List[List[str]]) -> None:
+        if self.outbox is not None:
+            from ..streaming.egress import publish_done
+
+            job = self.ledger.get(job_id)
+            publish_done(self.outbox, job_id, (job or {}).get("client_id", ""), results)
 
     def run_next(self, owner: str = "m1", now=None, max_rounds=None) -> Optional[dict]:
         job = self.ledger.acquire(owner, now=now)
@@ -280,6 +288,7 @@ class CrawlService:
         cached = self.cache.get(seed_url, depth, now=now)
         if cached is not None:
             self.ledger.complete(job_id)
+            self._publish(job_id, cached)
             return {"job_id": job_id, "done": True, "from_cache": True, "results": cached}
         summary = self.engine.run_job(job_id, seed_url, depth, max_rounds=max_rounds)
         self.ledger.progress(job_id, summary["last_round"], now=now)
@@ -288,4 +297,5 @@ class CrawlService:
         payload = self.engine.client_payload(job_id, depth)
         self.cache.put_if_deeper(seed_url, depth, payload, now=now)
         self.ledger.complete(job_id)
+        self._publish(job_id, payload)
         return {**summary, "from_cache": False, "results": payload}
