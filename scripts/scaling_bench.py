@@ -39,6 +39,15 @@ def run(cpus: int, crawl_n: str, seeds: str) -> dict:
     return json.loads(line)
 
 
+def machine_control() -> dict:
+    """Spark-free N vs 4N ceiling of this box in the same time window."""
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "machine_control.py")],
+        capture_output=True, text=True, check=True,
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
 def main():
     # big enough that per-core compute (decode+hash+dedup) dominates fixed
     # scheduling costs — the regime the 10^10 target actually runs in
@@ -46,11 +55,15 @@ def main():
     seeds = os.environ.get("BENCH_CRAWL_SEEDS", "800000")
     trials = int(os.environ.get("BENCH_TRIALS", "3"))
     # the sandbox VM shows heavy run-to-run variance (vCPU steal from host
-    # neighbors): interleave trials and take the median throughput per level
+    # neighbors): interleave trials and take the median throughput per level,
+    # and bracket the run with the Spark-free machine control so the window's
+    # own parallel-efficiency ceiling is on record
+    ctl_before = machine_control()
     runs8, runs32 = [], []
     for _ in range(trials):
         runs8.append(run(8, crawl_n, seeds)["crawl"])
         runs32.append(run(32, crawl_n, seeds)["crawl"])
+    ctl_after = machine_control()
     med = lambda rs: sorted(rs, key=lambda r: r["urls_per_sec"])[len(rs) // 2]  # noqa: E731
     r8, r32 = med(runs8), med(runs32)
     r8["all_urls_per_sec"] = [r["urls_per_sec"] for r in runs8]
@@ -90,6 +103,17 @@ zero at the 10^10 target); drain rounds only.
 medians of interleaved trials — the sandbox VM shows ±30% run-to-run noise
 from host-level CPU steal, see trial columns).
 
+## Machine control (same time window)
+
+The Spark-free multiprocessing control (scripts/machine_control.py) runs
+the exact verify kernel at 8 vs 32 worker processes — no JVM, no shuffle:
+what THIS BOX could deliver for a perfect 4× claim in this window.
+
+| when | 8-proc img/s | 32-proc img/s | ceiling efficiency |
+|---|---|---|---|
+| before trials | {ctl_before['n']['img_per_sec']} | {ctl_before['four_n']['img_per_sec']} | {ctl_before['machine_ceiling_efficiency']} |
+| after trials  | {ctl_after['n']['img_per_sec']} | {ctl_after['four_n']['img_per_sec']} | {ctl_after['machine_ceiling_efficiency']} |
+
 **Identical outputs at both levels** (fetched={r8['urls_fetched']} URLs in
 both runs): admission, dedup, and politeness are pure functions of data +
 seed, never of partition count — the property that makes N vs 4N comparable
@@ -116,18 +140,25 @@ overhead is constant (a dozen job submissions regardless of data size).
 Spark-measured details per phase live in the commit metadata
 (`phases` in each round's commit.json).
 
-Machine-level evidence for the shared-resource explanation: moving shuffle
-dirs to RAM (/dev/shm) does not change the plateau (page cache already
-absorbed the IO), and the same engine run at 200k pages/20k seeds shows
-NEGATIVE scaling (local[8] beats local[32]) because fixed scheduling costs
-dominate — the efficiency figure rises monotonically with work volume
-(0.21 @ 200k/20k → 0.51 @ 1M/400k → {eff:.2f} @ {crawl_n}/{seeds}),
-exactly the signature of a fixed shared-cost floor, not of a scaling
-defect in the dataflow.
+Interference is time-varying on this VM: runs in quiet windows have shown
+both the control and the drain scaling cleanly, and runs in noisy windows
+show BOTH collapsing together (extra parallelism amplifies host steal).
+Judge the dataflow by the gap between the engine efficiency and the
+same-window control ceiling above, not by either number alone.
 """
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)
-    print(json.dumps({"local8": r8, "local32": r32, "efficiency": round(eff, 3)}))
+    print(
+        json.dumps(
+            {
+                "local8": r8,
+                "local32": r32,
+                "efficiency": round(eff, 3),
+                "machine_control_before": ctl_before,
+                "machine_control_after": ctl_after,
+            }
+        )
+    )
 
 
 if __name__ == "__main__":
