@@ -1,0 +1,89 @@
+"""Change-data-capture view over AtomicTable version history — the
+Iceberg/Delta "changelog read" analog for the control tables (job ledger,
+job cache, client registry).
+
+Every CAS commit of an AtomicTable is a full snapshot; diffing consecutive
+snapshots on a key column yields the change stream the reference would get
+by tailing Postgres WAL / Redis keyspace notifications. Cardinality is
+control-plane tiny (one row per job/seed/client), so the diff runs
+driver-side in pandas and lands in Spark as a normal DataFrame — at real
+scale this is `spark.read.format("iceberg").option("start-snapshot-id",…)`
+on a changelog-enabled table, with callers unchanged.
+
+Ops emitted per version step: `insert` (key appears), `delete` (key
+vanishes — cache eviction / registry reap), `update_pre`/`update_post`
+(key present in both but any column changed) — Delta CDF's op vocabulary.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import pandas as pd
+import pyarrow.parquet as pq
+
+from .tables import AtomicTable
+
+
+def snapshots(table: AtomicTable) -> List[int]:
+    """Committed version numbers, ascending."""
+    import os
+
+    out = []
+    for nm in os.listdir(table.dir):
+        if nm.startswith("commit_v"):
+            out.append(int(nm[8:]))
+    return sorted(out)
+
+
+def read_version(table: AtomicTable, v: int) -> pd.DataFrame:
+    return pq.read_table(table.path_of(v) + "/data.parquet").to_pandas()
+
+
+def changes_pdf(
+    table: AtomicTable,
+    key: str,
+    start_version: Optional[int] = None,
+    end_version: Optional[int] = None,
+) -> pd.DataFrame:
+    """Change rows between consecutive snapshots in (start, end]:
+    (_version, _op, <data columns>)."""
+    vs = [v for v in snapshots(table)
+          if (start_version is None or v > start_version)
+          and (end_version is None or v <= end_version)]
+    if start_version is not None and start_version in snapshots(table):
+        prev = read_version(table, start_version)
+    else:
+        prev = None
+    out = []
+    for v in vs:
+        cur = read_version(table, v)
+        if prev is None:
+            for _, row in cur.iterrows():
+                out.append({"_version": v, "_op": "insert", **row.to_dict()})
+        else:
+            pk, ck = set(prev[key]), set(cur[key])
+            for k in sorted(ck - pk, key=str):
+                row = cur[cur[key] == k].iloc[0]
+                out.append({"_version": v, "_op": "insert", **row.to_dict()})
+            for k in sorted(pk - ck, key=str):
+                row = prev[prev[key] == k].iloc[0]
+                out.append({"_version": v, "_op": "delete", **row.to_dict()})
+            for k in sorted(pk & ck, key=str):
+                a = prev[prev[key] == k].iloc[0]
+                b = cur[cur[key] == k].iloc[0]
+                if not a.equals(b):
+                    out.append({"_version": v, "_op": "update_pre", **a.to_dict()})
+                    out.append({"_version": v, "_op": "update_post", **b.to_dict()})
+        prev = cur
+    cols = ["_version", "_op"] + [c for c in (prev.columns if prev is not None else [])]
+    return pd.DataFrame(out, columns=cols if out else ["_version", "_op"])
+
+
+def changes_df(spark, warehouse: str, name: str, key: str, start_version: Optional[int] = None):
+    """The change log as a Spark DataFrame (e.g. name='job_ledger',
+    key='job_id' / name='job_cache', key='seed_url')."""
+    pdf = changes_pdf(AtomicTable(warehouse, name), key, start_version)
+    if pdf.empty:
+        return spark.createDataFrame([], "_version long, _op string")
+    return spark.createDataFrame(pdf)

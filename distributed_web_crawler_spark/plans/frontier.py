@@ -63,9 +63,11 @@ class EngineConfig:
     politeness: Optional[PolitenessPolicy] = None
     robots: Optional[RobotsPolicy] = None
     use_bloom: bool = True
-    # 16 buckets at sandbox scale (≈1 file per bucket per round); a 10^10
-    # deployment raises this into the thousands — every path is O(buckets)
-    seen_buckets: int = 16
+    # 64 buckets at sandbox scale (≈1 file per bucket per round, and the
+    # bucket-keyed fused write must expose at least 2× the core count in
+    # groups or it serializes the write stage); a 10^10 deployment raises
+    # this into the thousands — every path is O(buckets)
+    seen_buckets: int = 64
     # count the per-round candidate set (extra materialization of the
     # extract+dedup pipeline) — rich metrics for tests, off for benchmarks
     detailed_metrics: bool = True
@@ -385,8 +387,9 @@ class FrontierEngine:
         new_rows = None
         if d + 1 < depth_limit and n_admitted > 0:
             # extraction parallelism must not be bound to the frontier's
-            # file count — pin it to the cores (CPU-bound Python stage)
-            extract_input = admitted_keyed.repartition(self.spark.sparkContext.defaultParallelism)
+            # file count — pin it to 2× cores (CPU-bound Python stage;
+            # finer tasks smooth stragglers)
+            extract_input = admitted_keyed.repartition(2 * self.spark.sparkContext.defaultParallelism)
             links = extract_links(extract_input, self.spec)
             keyed = self._with_keys(links.select("url", "host"))
             if self.cfg.robots is not None:

@@ -93,6 +93,24 @@ def q_politeness_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_politeness_fairness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Carry-over fairness of budgeted admission (W5 analytics): with a
+    per-key budget of 3 per sub-round, an item ranked rn waits
+    ceil(rn/3)-1 sub-rounds. Per key: queue length, worst wait, mean wait —
+    the starvation report a crawl operator reads per host."""
+    w = Window.partitionBy("l_suppkey").orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+    waits = (
+        _t(spark, sf_dir, "lineitem")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("wait", F.ceil(F.col("rn") / 3) - 1)
+    )
+    return waits.groupBy("l_suppkey").agg(
+        F.count("*").alias("n_queued"),
+        F.max("wait").cast("long").alias("max_wait"),
+        F.round(F.avg("wait"), 4).alias("avg_wait"),
+    )
+
+
 def q_status_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _t(spark, sf_dir, "orders").groupBy("o_orderstatus", "o_orderpriority").agg(
         F.count("*").alias("n")
@@ -324,6 +342,14 @@ SELECT l_suppkey, l_orderkey, l_linenumber, CAST(rn AS INT) AS rn FROM (
          row_number() OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber) AS rn
   FROM lineitem
 ) WHERE rn <= 3""",
+    "politeness_fairness": """
+WITH waits AS (
+  SELECT l_suppkey,
+         CAST(ceil(row_number() OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber) / 3.0) AS BIGINT) - 1 AS wait
+  FROM lineitem
+)
+SELECT l_suppkey, count(*) AS n_queued, max(wait) AS max_wait, round(avg(wait), 4) AS avg_wait
+FROM waits GROUP BY l_suppkey""",
     "status_histogram": """
 SELECT o_orderstatus, o_orderpriority, count(*) AS n FROM orders GROUP BY 1, 2""",
     "late_requeue": """
@@ -505,6 +531,7 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "depth_collect": q_depth_collect,
         "recovery_scan": q_recovery_scan,
         "politeness_window": q_politeness_window,
+        "politeness_fairness": q_politeness_fairness,
         "status_histogram": q_status_histogram,
         "late_requeue": q_late_requeue,
         "cache_truncation": q_cache_truncation,

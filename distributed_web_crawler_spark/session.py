@@ -41,6 +41,14 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # smaller Arrow batches into pandas UDFs: at the default 10k rows,
+        # 32 workers each juggle ~100-200 MB of transient decode arrays at
+        # once and the simultaneous allocation storm collapses memory
+        # bandwidth (measured: the same 10k-image verify batch costs 1 s
+        # warm but up to 30 s when all 32 workers hit their first batch
+        # together; a 32-process control with 2k batches never does).
+        # 2048 keeps numpy fully vectorized with ~5% of the working set.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))

@@ -31,15 +31,22 @@ _CHUNK = 32 * 1024 * 1024  # shard sub-range per exchange key
 
 
 def _exchange(df: DataFrame) -> DataFrame:
-    """Exchange for the point-read stage: keys (bucket, 32 MB offset chunk),
-    partition count pinned to the cluster's cores. Two traps this avoids:
-    hashing on bucket alone leaves ~37% of reducers empty (balls-in-bins),
-    and AQE coalesces byte-small exchanges even when the downstream pandas
-    stage is CPU-bound (measured 17 tasks for a 330k-row decode on 32
-    cores) — an explicit numPartitions repartition is exempt from AQE
-    coalescing."""
-    n = df.sparkSession.sparkContext.defaultParallelism
-    return df.repartition(n, F.col("bucket"), (F.col("blob_offset") / F.lit(_CHUNK)).cast("int"))
+    """Exchange for the point-read+decode stage, keyed by image_id hash.
+
+    Keying by storage location — (bucket, offset-chunk) — looks natural but
+    is a CPU-skew trap: the corpus buckets by `i % 64`, which also fixes the
+    image DIMENSIONS, so a location-keyed task gets a single shape and the
+    64×64 tasks carry 16× the pixel work of the 16×16 ones; measured, that
+    skew alone capped the verify stage's 8→32-core speedup at ~1.3×.
+    Hashing on image_id gives every task the same shape mix (decode work is
+    uniform) while `_read_ranges` still seek-orders each batch per shard —
+    on object storage the per-task ranged GETs were independent anyway.
+    2× cores: finer tasks smooth residual stragglers; an explicit
+    numPartitions repartition is also exempt from AQE coalescing, which
+    otherwise shrinks byte-small exchanges under CPU-bound pandas stages
+    (measured 17 tasks for a 330k-row decode on 32 cores)."""
+    n = 2 * df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, F.col("image_id"))
 
 
 def fetch_join(spark: SparkSession, corpus_path: str, admitted: DataFrame) -> DataFrame:

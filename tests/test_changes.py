@@ -1,0 +1,54 @@
+"""CDC view over AtomicTable version history: inserts, updates with
+pre/post images, deletes (eviction/reaping), and incremental reads from a
+start version — Delta-CDF-style ops over the CAS snapshot chain."""
+
+from distributed_web_crawler_spark.catalog.changes import changes_df, changes_pdf, snapshots
+from distributed_web_crawler_spark.catalog.tables import AtomicTable
+from distributed_web_crawler_spark.plans.ledger import JobCache, JobLedger
+
+
+def test_ledger_change_log(tmp_path):
+    wh = str(tmp_path)
+    led = JobLedger(wh)
+    led.submit("J1", "c0", "u1", 2, now=100.0)
+    led.submit("J2", "c1", "u2", 1, now=101.0)
+    led.acquire("m1", now=102.0)  # J1 pending -> running
+    led.complete("J1")  # running -> done
+    t = AtomicTable(wh, "job_ledger")
+    pdf = changes_pdf(t, key="job_id")
+    ops = list(zip(pdf["_op"], pdf["job_id"]))
+    assert ops[0] == ("insert", "J1")
+    assert ("insert", "J2") in ops
+    # acquire + complete each produce an update pre/post pair for J1
+    j1_updates = [o for o, j in ops if j == "J1" and o.startswith("update")]
+    assert j1_updates == ["update_pre", "update_post", "update_pre", "update_post"]
+    post_states = pdf[(pdf["job_id"] == "J1") & (pdf["_op"] == "update_post")]["state"].tolist()
+    assert post_states == ["running", "done"]
+
+
+def test_cache_eviction_appears_as_delete(tmp_path):
+    wh = str(tmp_path)
+    cache = JobCache(wh, ttl_s=1000.0, max_entries=2)
+    cache.put_if_deeper("u0", 1, [["a"]], now=0.0)
+    cache.put_if_deeper("u1", 1, [["b"]], now=1.0)
+    cache.get("u1", 1, now=2.0)  # u1 hot
+    cache.put_if_deeper("u2", 1, [["c"]], now=3.0)  # evicts cold u0
+    pdf = changes_pdf(AtomicTable(wh, "job_cache"), key="seed_url")
+    deletes = pdf[pdf["_op"] == "delete"]["seed_url"].tolist()
+    assert deletes == ["u0"]
+
+
+def test_incremental_read_and_spark_view(spark, tmp_path):
+    wh = str(tmp_path)
+    led = JobLedger(wh)
+    led.submit("J1", "c0", "u1", 1, now=100.0)
+    t = AtomicTable(wh, "job_ledger")
+    v1 = snapshots(t)[-1]
+    led.submit("J2", "c0", "u2", 1, now=101.0)
+    # incremental: only changes after v1
+    pdf = changes_pdf(t, key="job_id", start_version=v1)
+    assert list(zip(pdf["_op"], pdf["job_id"])) == [("insert", "J2")]
+    df = changes_df(spark, wh, "job_ledger", key="job_id")
+    rows = df.orderBy("_version", "_op").collect()
+    assert [r["_op"] for r in rows] == ["insert", "insert"]
+    assert {r["job_id"] for r in rows} == {"J1", "J2"}
