@@ -215,7 +215,7 @@ class FrontierEngine:
         # each task still touches few blobs, but every reducer gets work
         # (hashing on the bucket alone leaves ~37% of reducers empty)
         fine_key = F.pmod(F.col("url_hash"), F.lit(self.cfg.seen_buckets * 8))
-        n_par = self.spark.sparkContext.defaultParallelism
+        n_par = 2 * self.spark.sparkContext.defaultParallelism  # finer tasks smooth stragglers
         probed = candidates.repartition(n_par, fine_key).mapInPandas(probe, schema=schema)
         probed = probed.persist()
         if persisted is not None:
