@@ -113,6 +113,45 @@ class JobStateStore:
         if not os.path.exists(self._commit_path(r)) and os.path.isdir(self.round_dir(r)):
             shutil.rmtree(self.round_dir(r))
 
+    def vacuum(self) -> Dict[str, int]:
+        """Iceberg expire-snapshots/orphan-cleanup analog. Deletes, without
+        changing any reader-visible state:
+
+        * uncommitted round dirs beyond the last commit (crash staging)
+        * SUPERSEDED Bloom blobs — a bucket's blob in round r is garbage
+          once the latest commit's bloom manifest points that bucket at a
+          newer round (the manifest shares the CURRENT blob across rounds;
+          older generations are unreachable)
+        * deferred/ file-sets no longer referenced by the latest frontier
+          manifest (a politeness remainder is superseded once drained)
+
+        Seen deltas (`new/`) and metrics are never touched: results/resume
+        read every committed round's delta. Returns deletion counts."""
+        last = self.last_committed()
+        stats = {"aborted_rounds": 0, "stale_blooms": 0, "stale_deferred": 0}
+        if last is None:
+            return stats
+        for name in os.listdir(self.dir):
+            if name.startswith("r") and name[1:].isdigit() and int(name[1:]) > last:
+                self.abort_round(int(name[1:]))
+                stats["aborted_rounds"] += 1
+        commit = self.read_commit(last)
+        live_blob = {int(b): rr for b, rr in commit.get("bloom_manifest", {}).items()}
+        live_paths = {os.path.join(self.dir, e[0]) for e in commit.get("frontier_manifest", [])}
+        for r in self.committed_rounds():
+            blooms_dir = os.path.join(self.round_dir(r), "blooms")
+            if os.path.isdir(blooms_dir):
+                for f in os.listdir(blooms_dir):
+                    bucket = int(f.split("_")[1].split(".")[0])
+                    if live_blob.get(bucket) != r:
+                        os.unlink(os.path.join(blooms_dir, f))
+                        stats["stale_blooms"] += 1
+            def_path = self.deferred_path(r)
+            if os.path.isdir(def_path) and def_path not in live_paths:
+                shutil.rmtree(def_path)
+                stats["stale_deferred"] += 1
+        return stats
+
     # ---------------------------------------------------------- readers
     def committed_rounds(self) -> List[int]:
         last = self.last_committed()
@@ -207,3 +246,35 @@ class AtomicTable:
         finally:
             os.unlink(tmp)
         return True
+
+    def compact(self, keep_last: int = 8) -> int:
+        """Expire old versions (Iceberg expire_snapshots): drop markers and
+        data dirs older than the newest `keep_last`, plus orphaned staging
+        dirs no surviving marker names. Never touches the current version;
+        keep_last bounds the CDC window (catalog/changes.py) readers get.
+        Returns the number of versions dropped."""
+        versions = sorted(
+            int(n[8:]) for n in os.listdir(self.dir) if n.startswith("commit_v")
+        )
+        drop = versions[:-keep_last] if keep_last > 0 else []
+        kept_dirs = set()
+        for v in versions[len(drop):]:
+            kept_dirs.add(os.path.basename(self.path_of(v)))
+        for v in drop:
+            data = self.path_of(v)
+            os.unlink(self._marker(v))
+            if os.path.basename(data) not in kept_dirs:
+                shutil.rmtree(data, ignore_errors=True)
+        import time
+
+        for name in os.listdir(self.dir):
+            if name.startswith("d_") and name not in kept_dirs:
+                # orphan staging from crashed/lost writers — age-guarded so a
+                # CONCURRENT writer's not-yet-published staging dir survives
+                p = os.path.join(self.dir, name)
+                try:
+                    if time.time() - os.path.getmtime(p) > 3600:
+                        shutil.rmtree(p, ignore_errors=True)
+                except FileNotFoundError:
+                    pass
+        return len(drop)

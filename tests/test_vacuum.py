@@ -1,0 +1,62 @@
+"""Storage lifecycle (Iceberg expire-snapshots / orphan-cleanup analog):
+JobStateStore.vacuum drops superseded Bloom generations, drained deferred
+sets, and crash staging WITHOUT changing any reader-visible state;
+AtomicTable.compact expires old control-table versions while current reads
+and the CDC window over kept versions keep working."""
+
+import os
+
+from distributed_web_crawler_spark.catalog.changes import changes_pdf, snapshots
+from distributed_web_crawler_spark.catalog.tables import AtomicTable
+from distributed_web_crawler_spark.fixtures import corpus as C
+from distributed_web_crawler_spark.oracle.crawler import PolitenessPolicy, crawl
+from distributed_web_crawler_spark.plans.frontier import EngineConfig, FrontierEngine
+from distributed_web_crawler_spark.plans.ledger import JobLedger
+
+
+def test_vacuum_preserves_results_and_resume(spark, corpus_1k, tmp_path):
+    spec, path = corpus_1k
+    pol = PolitenessPolicy(round_duration_ms=4000)  # sub-rounds → deferred sets
+    eng = FrontierEngine(
+        spark, str(tmp_path / "wh"), path, spec, EngineConfig(politeness=pol, use_bloom=True, seen_buckets=8)
+    )
+    seed_i = next(i for i in range(spec.n) if len(C.out_links(i, spec)) >= 3)
+    eng.run_job("v", C.url_of(seed_i, spec), 3)
+    store = eng.store("v")
+    before = eng.client_payload("v", 3)
+    # plant crash staging beyond the last commit
+    os.makedirs(store.round_dir(store.last_committed() + 1))
+
+    stats = store.vacuum()
+    assert stats["aborted_rounds"] == 1
+    assert stats["stale_blooms"] > 0  # buckets rewritten across rounds left old generations
+
+    # reader-visible state unchanged
+    assert eng.client_payload("v", 3) == before == crawl(seed_i, 3, spec, politeness=pol).levels_sorted()
+    # live bloom blobs all still present
+    for b, p in store.bloom_blobs().items():
+        assert os.path.exists(p), b
+    # vacuuming again is a no-op
+    again = store.vacuum()
+    assert again == {"aborted_rounds": 0, "stale_blooms": 0, "stale_deferred": 0}
+
+
+def test_atomic_table_compact(tmp_path):
+    led = JobLedger(str(tmp_path))
+    for k in range(12):
+        led.submit(f"J{k}", "c", f"u{k}", 1, now=100.0 + k)
+    t = AtomicTable(str(tmp_path), "job_ledger")
+    n_before = len(snapshots(t))
+    assert n_before == 12
+    dropped = t.compact(keep_last=4)
+    assert dropped == 8
+    assert len(snapshots(t)) == 4
+    # current read unaffected: all 12 jobs still in the table
+    df = led._t.read()
+    assert sorted(df["job_id"]) == sorted(f"J{k}" for k in range(12))
+    # CDC over the kept window still works (first kept version reads as inserts)
+    pdf = changes_pdf(t, key="job_id")
+    assert (pdf["_op"] == "insert").sum() >= 9  # snapshot baseline + 3 increments
+    # writes continue normally after compaction
+    assert led.submit("J99", "c", "u99", 1, now=200.0)
+    assert led.get("J99") is not None
