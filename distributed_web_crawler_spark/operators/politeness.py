@@ -36,15 +36,30 @@ def budget_col(host_col, policy: PolitenessPolicy):
     return F.greatest(F.lit(1), F.floor(F.lit(policy.round_duration_ms) / delay)).cast("int")
 
 
+def max_budget(policy: PolitenessPolicy) -> int:
+    """Data-independent upper bound of budget_col (delay ≥ 500 ms)."""
+    return max(1, policy.round_duration_ms // 500)
+
+
 def admit(pending: DataFrame, policy: PolitenessPolicy | None) -> Tuple[DataFrame, DataFrame]:
     """Split a depth's pending frontier into (admitted, deferred) for one
-    sub-round. pending needs (url, host, url_hash)."""
+    sub-round. pending needs (url, host, url_hash).
+
+    The admitted filter carries a LITERAL rank bound (`_rn <= max_budget`)
+    alongside the per-host column bound: Catalyst only plans a
+    WindowGroupLimit (per-partition top-k BELOW the shuffle) for literal
+    limits, and that pushdown is the mega-host mitigation — a host with
+    millions of pending URLs contributes at most max_budget rows per map
+    partition to the window's exchange instead of all of them."""
     if policy is None:
         return pending, pending.limit(0)
     w = Window.partitionBy("host").orderBy(F.col("url_hash").asc(), F.col("url").asc())
     ranked = pending.withColumn("_rn", F.row_number().over(w)).withColumn(
         "_budget", budget_col(F.col("host"), policy)
     )
-    admitted = ranked.filter(F.col("_rn") <= F.col("_budget")).drop("_rn", "_budget")
+    lim = F.lit(max_budget(policy))
+    admitted = ranked.filter((F.col("_rn") <= lim) & (F.col("_rn") <= F.col("_budget"))).drop(
+        "_rn", "_budget"
+    )
     deferred = ranked.filter(F.col("_rn") > F.col("_budget")).drop("_rn", "_budget")
     return admitted, deferred
