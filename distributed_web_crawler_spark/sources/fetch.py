@@ -128,11 +128,16 @@ def fetch_and_decode(spark, corpus_path: str, admitted: DataFrame) -> DataFrame:
             n = len(urls)
             lumas = np.empty(n)
             grays = np.empty((n, 32, 32))
+            sub32 = np.arange(32)
             for k in range(n):
                 dec = decode_any(payloads[k])
                 means = dec.reshape(-1, 3).mean(axis=0)
                 lumas[k] = 0.2126 * means[0] + 0.7152 * means[1] + 0.0722 * means[2]
-                grays[k] = C.gray32(dec)
+                # subsample before the channel mean (commutes; see
+                # images.verify_batch) — touches 32·32·3 values, not h·w·3
+                h, w = dec.shape[:2]
+                sub = dec[sub32 * h // 32][:, sub32 * w // 32]
+                grays[k] = sub.sum(axis=2, dtype=np.float64) / 3.0
             ph = C.phash64_batch(grays) if n else np.zeros(0, dtype=np.int64)
             yield pd.DataFrame({"url": urls, "phash_dec": ph, "luma": lumas})
 
