@@ -41,6 +41,29 @@ def test_vacuum_preserves_results_and_resume(spark, corpus_1k, tmp_path):
     assert again == {"aborted_rounds": 0, "stale_blooms": 0, "stale_deferred": 0}
 
 
+def test_vacuum_mid_crawl_then_resume(spark, corpus_1k, tmp_path):
+    """Vacuum between rounds of an INTERRUPTED politeness crawl must keep
+    every file-set the latest manifest references (deferred politeness
+    remainders included) — resume after vacuum must land on the exact
+    oracle state."""
+    spec, path = corpus_1k
+    pol = PolitenessPolicy(round_duration_ms=4000)
+    eng = FrontierEngine(
+        spark, str(tmp_path / "wh"), path, spec, EngineConfig(politeness=pol, use_bloom=True, seen_buckets=8)
+    )
+    seed_i = next(i for i in range(spec.n) if len(C.out_links(i, spec)) >= 3)
+    s1 = eng.run_job("mid", C.url_of(seed_i, spec), 3, max_rounds=1)
+    assert not s1["done"]
+    eng.store("mid").vacuum()
+    s2 = eng.run_job("mid", C.url_of(seed_i, spec), 3)  # resume over vacuumed store
+    assert s2["done"]
+    o = crawl(seed_i, 3, spec, politeness=pol)
+    assert eng.client_payload("mid", 3) == o.levels_sorted()
+    m = eng.metrics_df("mid").orderBy("round").collect()
+    got = [(r["depth"], r["sub_round"], r["n_admitted"]) for r in m]
+    assert got == [(d, su, len(urls)) for d, su, urls in o.schedule]
+
+
 def test_atomic_table_compact(tmp_path):
     led = JobLedger(str(tmp_path))
     for k in range(12):
