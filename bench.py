@@ -100,7 +100,9 @@ def bench_crawl(spark):
     # odd trial count — the same protocol scaling_bench.py uses — so the
     # headline is not a best-of-N. All trials are disclosed alongside.
     trials = [_one_crawl_trial(spark, spec, corpus_path) for _ in range(int(os.environ.get("BENCH_TRIALS", "3")))]
-    best = sorted(trials, key=lambda r: r["urls_per_sec"])[len(trials) // 2]
+    # lower-middle index: an EVEN trial count takes the slower middle trial
+    # (the upper-middle would be best-of-2 at BENCH_TRIALS=2)
+    best = sorted(trials, key=lambda r: r["urls_per_sec"])[(len(trials) - 1) // 2]
     return {
         **best,
         "corpus_pages": CRAWL_N,

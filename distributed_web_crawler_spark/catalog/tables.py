@@ -235,6 +235,14 @@ class AtomicTable:
         if expected_version is AtomicTable._AUTO:
             expected_version = self.current_version()
         v = (expected_version or 0) + 1
+        # freshen + verify the staging dir right before the commit: compact()
+        # age-guards orphan sweeps on mtime, so a writer that stalled past the
+        # guard re-stamps here and cannot link a marker at a swept dir (the
+        # residual stall window between these two syscalls is microseconds)
+        try:
+            os.utime(path)
+        except FileNotFoundError:
+            return False
         fd, tmp = tempfile.mkstemp(dir=self.dir, prefix=".tmpmk_")
         with os.fdopen(fd, "w") as f:
             f.write(os.path.basename(path))

@@ -35,8 +35,12 @@ def host_num(url: Column) -> Column:
 
 
 def page_index(url: Column) -> Column:
-    """Inverse of fixtures url_of: .../p/<i> → i (NULL if not a corpus URL)."""
-    return F.regexp_extract(url, r"/p/(\d+)$", 1).try_cast("long")
+    """Inverse of fixtures url_of — NULL unless the FULL URL matches the
+    corpus scheme. The host anchor matters: a foreign-host URL that merely
+    ends in /p/<i> (e.g. a malformed client seed) must not resolve to a
+    corpus page, or the fetch join would hand it another site's payload
+    and extraction would follow that page's links."""
+    return F.regexp_extract(url, r"^https?://h\d+\.test/p/(\d+)$", 1).try_cast("long")
 
 
 def path_of(url: Column) -> Column:

@@ -36,7 +36,9 @@ def extract_links(fetched: DataFrame, spec: C.CorpusSpec) -> DataFrame:
                     i = C.index_of_url(purl)
                 except (ValueError, IndexError):
                     continue  # not a corpus URL ⇒ unfetchable ⇒ no links (worker.go:153)
-                if not (0 <= i < spec.n):
+                if not (0 <= i < spec.n) or C.url_of(i, spec) != purl:
+                    # round-trip check: a foreign-host URL that merely ends in
+                    # /p/<i> must not resolve to page i's links
                     continue
                 for t in C.out_links(i, spec):
                     parents.append(purl)

@@ -15,8 +15,11 @@ from ..oracle.crawler import RobotsPolicy
 
 
 def blocked_expr(url: Column) -> Column:
+    """NULL-safe: a URL outside the synthetic host scheme (host_num NULL)
+    must evaluate to FALSE — not NULL — or filter(~blocked) would silently
+    drop it from both the survivors and the blocked count."""
     h = U.host_num(url)
-    return (F.pmod(h, F.lit(16)) == 7) & U.path_of(url).startswith("/p/3")
+    return F.coalesce((F.pmod(h, F.lit(16)) == 7) & U.path_of(url).startswith("/p/3"), F.lit(False))
 
 
 def robots_table(spark: SparkSession, n_hosts: int, policy: RobotsPolicy | None = None) -> DataFrame:

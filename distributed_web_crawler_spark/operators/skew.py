@@ -28,12 +28,19 @@ def salted_agg(
 ) -> DataFrame:
     """aggs: partial aggregate columns (aliased); finals: matching final
     re-aggregations over the partial names (aliased to output names).
-    The salt hashes `salt_cols` (default: every non-key column), so it is a
-    pure function of the DATA — a retried/recomputed task salts identically
-    (monotonically_increasing_id would not: it depends on row position and
-    changes across retries; result-invariant but lineage-nondeterministic)."""
+    The salt combines a hash of `salt_cols` (default: every non-key column)
+    with monotonically_increasing_id. The data hash alone would send all
+    EXACT-DUPLICATE rows of a hot key to one salt — the duplicate-heavy case
+    salting exists for — because duplicates carry no distinguishing data;
+    the id term spreads them. The id is position-dependent (a retried task
+    may salt differently), but the final aggregate is salt-invariant by
+    construction, so results are deterministic either way."""
     salt_cols = salt_cols or [c for c in df.columns if c != key]
-    salted = df.withColumn("_salt", F.pmod(F.xxhash64(*[F.col(c) for c in salt_cols]), F.lit(n_salts)))
+    mid = F.monotonically_increasing_id()
+    # XOR, not +: xxhash64 spans the full int64 range and ANSI mode would
+    # throw on additive overflow
+    mix = F.xxhash64(*[F.col(c) for c in salt_cols]).bitwiseXOR(mid) if salt_cols else mid
+    salted = df.withColumn("_salt", F.pmod(mix, F.lit(n_salts)))
     partial = salted.groupBy(key, "_salt").agg(*aggs)
     return partial.groupBy(key).agg(*finals)
 

@@ -340,7 +340,13 @@ class FrontierEngine:
         # ([relpath, depth, n_rows]); the depth cursor and the no-politeness
         # admitted count are manifest arithmetic — zero Spark jobs — and only
         # the file-sets at the drained depth are ever opened
-        manifest = prev["frontier_manifest"]
+        manifest = prev.get("frontier_manifest")
+        if manifest is None:
+            raise ValueError(
+                f"job store at {store.dir!r} was committed by a pre-manifest layout "
+                "(no frontier_manifest in commit.json); rerun the job in a fresh "
+                "warehouse — old stores are not migrated"
+            )
         d = min(e[1] for e in manifest)
         sub = prev["sub_round"] + 1 if prev["depth"] == d else 0
         n_pending_d = sum(e[2] for e in manifest if e[1] == d)
@@ -398,10 +404,12 @@ class FrontierEngine:
                 # within-round dedup is multiplicity-preserving — every
                 # discovery occurrence of a blocked URL counts, matching the
                 # oracle (oracle/crawler.py:141-147) at any depth, not just
-                # where the fixture happens to have no within-round dups
+                # where the fixture happens to have no within-round dups.
+                # The count is metrics-only, so it is gated like n_candidates
+                # (-1 when detailed metrics are off — no extra job per round)
                 keyed = keyed.withColumn("_blocked", blocked_expr(F.col("url"))).persist()
                 persisted.append(keyed)
-                n_blocked = keyed.filter(F.col("_blocked")).count()
+                n_blocked = keyed.filter(F.col("_blocked")).count() if self.cfg.detailed_metrics else -1
                 keyed = keyed.filter(~F.col("_blocked")).drop("_blocked")
             candidates = keyed.dropDuplicates(["url_hash"]).persist()  # U3 within-round
             persisted.append(candidates)
@@ -430,7 +438,15 @@ class FrontierEngine:
             touched = [s[0] for s in stats]
             n_new = sum(s[1] for s in stats)
         if deferred_future is not None:
-            deferred_future.result()
+            n_def_written = sum(s[1] for s in deferred_future.result())
+            # self-check: the manifest records arithmetic (pending - admitted);
+            # the write stats come back for free — any divergence (e.g. a
+            # future budget expression breaking admit/deferred complementarity)
+            # must fail loudly, not corrupt n_pending_after / the done flag
+            if n_def_written != n_deferred:
+                raise AssertionError(
+                    f"deferred write produced {n_def_written} rows, expected {n_deferred}"
+                )
         for df_ in persisted:
             df_.unpersist()
         t = _mark("writes_ms", t)

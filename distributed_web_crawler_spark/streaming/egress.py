@@ -99,7 +99,7 @@ def publish_done(outbox_dir: str, job_id: str, client_id: str, results: List[Lis
     os.makedirs(outbox_dir, exist_ok=True)
     payload = {"jobId": job_id, "clientId": client_id, "results": results}
     path = os.path.join(outbox_dir, f"{job_id}.json")
-    tmp = path + ".tmp"
+    tmp = os.path.join(outbox_dir, f".{job_id}.json.tmp")  # dot-prefix: hidden from the stream source
     with open(tmp, "w") as f:
         f.write(json.dumps(payload))
     os.replace(tmp, path)
@@ -152,7 +152,10 @@ def run_result_egress(
                 "results": [list(level) for level in (row["results"] or [])],
             }
             path = os.path.join(client_dir, f"{row['job_id']}.json")
-            tmp = path + f".tmp{batch_id}"
+            # dot-prefix: a crash mid-write must not leave a torn file a
+            # directory-listing consumer would pick up (and replays under a
+            # new batch_id would never clean a visible leftover)
+            tmp = os.path.join(client_dir, f".{row['job_id']}.tmp{batch_id}")
             with open(tmp, "w") as f:
                 f.write(json.dumps(payload))
             os.replace(tmp, path)  # idempotent on batch replay

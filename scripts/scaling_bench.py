@@ -64,7 +64,7 @@ def main():
         runs8.append(run(8, crawl_n, seeds)["crawl"])
         runs32.append(run(32, crawl_n, seeds)["crawl"])
     ctl_after = machine_control()
-    med = lambda rs: sorted(rs, key=lambda r: r["urls_per_sec"])[len(rs) // 2]  # noqa: E731
+    med = lambda rs: sorted(rs, key=lambda r: r["urls_per_sec"])[(len(rs) - 1) // 2]  # noqa: E731  (lower-middle: even counts take the slower trial)
     r8, r32 = med(runs8), med(runs32)
     r8["all_urls_per_sec"] = [r["urls_per_sec"] for r in runs8]
     r32["all_urls_per_sec"] = [r["urls_per_sec"] for r in runs32]

@@ -177,6 +177,11 @@ def test_malformed_seed_completes_with_seed_only(spark, corpus_1k, tmp_path):
     s = eng.run_job("mal", "http://nonsense.example/xyz", 2)
     assert s["done"] and s["n_seen"] == 1
     assert eng.client_payload("mal", 2) == [["http://nonsense.example/xyz"], []]
+    # a malformed URL whose PATH matches a disallow prefix: the NULL host
+    # must coalesce to not-blocked, not to a silently-dropped NULL row
+    s2 = eng.run_job("mal2", "http://nonsense.example/p/33", 2)
+    assert s2["done"] and s2["n_seen"] == 1
+    assert eng.client_payload("mal2", 2) == [["http://nonsense.example/p/33"], []]
 
 
 def test_blocked_seed_yields_empty_job(spark, corpus_1k, tmp_path):
