@@ -48,12 +48,24 @@ def changes_pdf(
 ) -> pd.DataFrame:
     """Change rows between consecutive snapshots in (start, end]:
     (_version, _op, <data columns>)."""
-    vs = [v for v in snapshots(table)
+    snaps = snapshots(table)
+    vs = [v for v in snaps
           if (start_version is None or v > start_version)
           and (end_version is None or v <= end_version)]
-    if start_version is not None and start_version in snapshots(table):
+    if start_version is not None and start_version in snaps:
         prev = read_version(table, start_version)
     else:
+        # A checkpointed start_version that compact() has expired must FAIL,
+        # not silently replay the first surviving snapshot as inserts — a
+        # resuming CDC consumer would double-count every row (Delta/Iceberg
+        # raise for an expired start snapshot too). start_version=0/None
+        # still means "from the beginning" (full state as inserts).
+        if start_version and snaps and start_version < max(snaps):
+            raise ValueError(
+                f"start_version {start_version} has been compacted away "
+                f"(earliest available snapshot: {min(snaps)}); the consumer "
+                "must re-baseline from a full snapshot read"
+            )
         prev = None
     out = []
     for v in vs:

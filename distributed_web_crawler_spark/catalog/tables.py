@@ -113,11 +113,15 @@ class JobStateStore:
         if not os.path.exists(self._commit_path(r)) and os.path.isdir(self.round_dir(r)):
             shutil.rmtree(self.round_dir(r))
 
-    def vacuum(self) -> Dict[str, int]:
+    def vacuum(self, staging_age_s: float = 3600.0) -> Dict[str, int]:
         """Iceberg expire-snapshots/orphan-cleanup analog. Deletes, without
         changing any reader-visible state:
 
-        * uncommitted round dirs beyond the last commit (crash staging)
+        * uncommitted round dirs beyond the last commit (crash staging) —
+          AGE-GUARDED by `staging_age_s` (dir mtime), because a round dir
+          newer than that may be the ACTIVE round of the owning master (or
+          of a timeout-steal winner) mid-write; pass 0 only when the job is
+          known not to be acquired (e.g. after its ledger entry completed)
         * SUPERSEDED Bloom blobs — a bucket's blob in round r is garbage
           once the latest commit's bloom manifest points that bucket at a
           newer round (the manifest shares the CURRENT blob across rounds;
@@ -131,8 +135,16 @@ class JobStateStore:
         stats = {"aborted_rounds": 0, "stale_blooms": 0, "stale_deferred": 0}
         if last is None:
             return stats
+        import time
+
         for name in os.listdir(self.dir):
             if name.startswith("r") and name[1:].isdigit() and int(name[1:]) > last:
+                try:
+                    age = time.time() - os.path.getmtime(os.path.join(self.dir, name))
+                except FileNotFoundError:
+                    continue
+                if age < staging_age_s:
+                    continue  # possibly an ACTIVE round mid-write — keep
                 self.abort_round(int(name[1:]))
                 stats["aborted_rounds"] += 1
         commit = self.read_commit(last)
@@ -267,22 +279,43 @@ class AtomicTable:
         drop = versions[:-keep_last] if keep_last > 0 else []
         kept_dirs = set()
         for v in versions[len(drop):]:
-            kept_dirs.add(os.path.basename(self.path_of(v)))
+            try:
+                kept_dirs.add(os.path.basename(self.path_of(v)))
+            except FileNotFoundError:
+                pass  # a concurrent compactor with a smaller keep_last won
+        n_dropped = 0
         for v in drop:
-            data = self.path_of(v)
-            os.unlink(self._marker(v))
+            # every step tolerates a CONCURRENT compactor having done it
+            # first: marker/data already gone == already compacted, not an
+            # error (two processes may both run maintenance)
+            try:
+                data = self.path_of(v)
+            except FileNotFoundError:
+                continue
+            try:
+                os.unlink(self._marker(v))
+            except FileNotFoundError:
+                pass
+            n_dropped += 1
             if os.path.basename(data) not in kept_dirs:
                 shutil.rmtree(data, ignore_errors=True)
         import time
 
         for name in os.listdir(self.dir):
-            if name.startswith("d_") and name not in kept_dirs:
-                # orphan staging from crashed/lost writers — age-guarded so a
-                # CONCURRENT writer's not-yet-published staging dir survives
+            # orphan staging/marker tmp files from crashed or lost writers
+            # (a publish() that died between mkstemp and unlink leaks
+            # .tmpmk_*) — age-guarded so a CONCURRENT writer's
+            # not-yet-published staging survives
+            is_orphan_dir = name.startswith("d_") and name not in kept_dirs
+            is_orphan_tmp = name.startswith((".tmpmk_", ".tmp_"))
+            if is_orphan_dir or is_orphan_tmp:
                 p = os.path.join(self.dir, name)
                 try:
                     if time.time() - os.path.getmtime(p) > 3600:
-                        shutil.rmtree(p, ignore_errors=True)
+                        if is_orphan_dir:
+                            shutil.rmtree(p, ignore_errors=True)
+                        else:
+                            os.unlink(p)
                 except FileNotFoundError:
                     pass
-        return len(drop)
+        return n_dropped

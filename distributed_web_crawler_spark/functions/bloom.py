@@ -81,7 +81,14 @@ def load_blob(path: str, p: BloomParams) -> np.ndarray:
 
 
 def write_blob(path: str, filt: np.ndarray) -> None:
-    os.makedirs(os.path.dirname(path), exist_ok=True)
-    tmp = path + ".tmp"
+    # tmp name unique per attempt: concurrent attempts of the same bucket
+    # group (speculative execution / a zombie master racing a timeout-steal
+    # winner) must never interleave into one tmp file; the os.replace to the
+    # deterministic final name stays idempotent either way
+    import uuid
+
+    d = os.path.dirname(path)
+    os.makedirs(d, exist_ok=True)
+    tmp = os.path.join(d, f".{os.path.basename(path)}.{uuid.uuid4().hex[:12]}.tmp")
     filt.tofile(tmp)
     os.replace(tmp, path)

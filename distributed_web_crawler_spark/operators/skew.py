@@ -28,14 +28,14 @@ def salted_agg(
 ) -> DataFrame:
     """aggs: partial aggregate columns (aliased); finals: matching final
     re-aggregations over the partial names (aliased to output names).
-    The salt combines a hash of `salt_cols` (default: every non-key column)
-    with monotonically_increasing_id. The data hash alone would send all
-    EXACT-DUPLICATE rows of a hot key to one salt — the duplicate-heavy case
-    salting exists for — because duplicates carry no distinguishing data;
-    the id term spreads them. The id is position-dependent (a retried task
-    may salt differently), but the final aggregate is salt-invariant by
-    construction, so results are deterministic either way."""
-    salt_cols = salt_cols or [c for c in df.columns if c != key]
+    The salt defaults to monotonically_increasing_id alone: it is free
+    (no per-row hashing), spreads EXACT-DUPLICATE rows of a hot key (which
+    carry no distinguishing data for a hash to chew on), and the final
+    aggregate is salt-invariant by construction, so results are
+    deterministic even though the id is position-dependent. Callers that
+    want content-affine salting (e.g. to co-locate identical rows for a
+    downstream distinct) opt in via `salt_cols`; hashing every column by
+    default measurably dominated the aggregation cost on wide tables."""
     mid = F.monotonically_increasing_id()
     # XOR, not +: xxhash64 spans the full int64 range and ANSI mode would
     # throw on additive overflow

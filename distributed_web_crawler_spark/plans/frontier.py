@@ -261,11 +261,18 @@ class FrontierEngine:
                     "depth": pa.array(pdf["depth"], pa.int32()),
                 }
             )
-            # deterministic name + atomic replace: a retried/speculative task
-            # attempt overwrites the same file (same row set) instead of
-            # appending a duplicate part — groupBy gives one call per bucket
+            # deterministic FINAL name + atomic replace: a retried/speculative
+            # task attempt overwrites the same file (same row set) instead of
+            # appending a duplicate part — groupBy gives one call per bucket.
+            # The TMP name is unique PER ATTEMPT: two live attempts of the
+            # same group (speculation, or a zombie master racing the
+            # timeout-steal winner) must not interleave writes into one tmp
+            # file and os.replace a torn part into the committed layout.
+            # Dot-prefix keeps staging invisible to Spark listings.
+            import uuid
+
             path = os.path.join(part_dir, f"part-{bucket:05d}.parquet")
-            tmp = os.path.join(part_dir, f".part-{bucket:05d}.tmp")  # dot-prefix: invisible to Spark listings
+            tmp = os.path.join(part_dir, f".part-{bucket:05d}.{uuid.uuid4().hex[:12]}.tmp")
             pq.write_table(table, tmp)
             os.replace(tmp, path)
             if update_blooms:

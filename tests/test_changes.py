@@ -52,3 +52,24 @@ def test_incremental_read_and_spark_view(spark, tmp_path):
     rows = df.orderBy("_version", "_op").collect()
     assert [r["_op"] for r in rows] == ["insert", "insert"]
     assert {r["job_id"] for r in rows} == {"J1", "J2"}
+
+def test_expired_start_version_raises(tmp_path):
+    """A checkpointed start_version that compact() expired must fail loudly
+    (Delta/Iceberg behavior) instead of replaying the first surviving
+    snapshot as inserts — a resuming consumer would double-count rows."""
+    import pytest
+
+    wh = str(tmp_path)
+    led = JobLedger(wh)
+    for k in range(8):
+        led.submit(f"J{k}", "c", f"u{k}", 1, now=100.0 + k)
+    t = AtomicTable(wh, "job_ledger")
+    v_checkpoint = snapshots(t)[1]  # consumer checkpointed v2
+    t.compact(keep_last=3)  # ... which expires v1..v5
+    with pytest.raises(ValueError, match="compacted away"):
+        changes_pdf(t, key="job_id", start_version=v_checkpoint)
+    # start after the newest snapshot is legal: empty change set, no raise
+    assert changes_pdf(t, key="job_id", start_version=snapshots(t)[-1]).empty
+    # surviving checkpoints still work
+    pdf = changes_pdf(t, key="job_id", start_version=snapshots(t)[0])
+    assert (pdf["_op"] == "insert").sum() == 2
