@@ -75,6 +75,13 @@ class JobStateStore:
     def metrics_path(self, r: int) -> str:
         return os.path.join(self.round_dir(r), "metrics")
 
+    def seen_compact_dir(self) -> str:
+        return os.path.join(self.dir, "seen_compact")
+
+    def seen_compact_staging(self, upto: int) -> str:
+        """Target dir for a compaction covering rounds 0..upto."""
+        return os.path.join(self.seen_compact_dir(), f"c{upto:05d}")
+
     def bloom_blob_path(self, r: int, bucket: int) -> str:
         return os.path.join(self.round_dir(r), "blooms", f"bucket_{bucket:05d}.bin")
 
@@ -128,11 +135,22 @@ class JobStateStore:
           older generations are unreachable)
         * deferred/ file-sets no longer referenced by the latest frontier
           manifest (a politeness remainder is superseded once drained)
+        * superseded seen-compaction generations (dirs under seen_compact/
+          other than the live pointer's target — age-guarded, a fresh one
+          may be a concurrent compactor's staging)
+        * seen deltas (`new/`) fully covered by the live compaction AND not
+          referenced by the frontier manifest as pending components —
+          readers get identical rows from the compacted table
 
-        Seen deltas (`new/`) and metrics are never touched: results/resume
-        read every committed round's delta. Returns deletion counts."""
+        Metrics are never touched. Returns deletion counts."""
         last = self.last_committed()
-        stats = {"aborted_rounds": 0, "stale_blooms": 0, "stale_deferred": 0}
+        stats = {
+            "aborted_rounds": 0,
+            "stale_blooms": 0,
+            "stale_deferred": 0,
+            "stale_compacts": 0,
+            "compacted_deltas": 0,
+        }
         if last is None:
             return stats
         import time
@@ -162,6 +180,24 @@ class JobStateStore:
             if os.path.isdir(def_path) and def_path not in live_paths:
                 shutil.rmtree(def_path)
                 stats["stale_deferred"] += 1
+        sc = self.read_seen_compact()
+        if sc is not None:
+            live_compact = os.path.join(self.dir, sc["path"])
+            if os.path.isdir(self.seen_compact_dir()):
+                for name in os.listdir(self.seen_compact_dir()):
+                    p = os.path.join(self.seen_compact_dir(), name)
+                    try:
+                        fresh = time.time() - os.path.getmtime(p) < staging_age_s
+                    except FileNotFoundError:
+                        continue
+                    if p != live_compact and not fresh:
+                        shutil.rmtree(p, ignore_errors=True)
+                        stats["stale_compacts"] += 1
+            for r in self.committed_rounds():
+                np_ = self.new_path(r)
+                if r <= sc["upto"] and os.path.isdir(np_) and np_ not in live_paths:
+                    shutil.rmtree(np_)
+                    stats["compacted_deltas"] += 1
         return stats
 
     # ---------------------------------------------------------- readers
@@ -169,11 +205,42 @@ class JobStateStore:
         last = self.last_committed()
         return [] if last is None else [r for r in range(last + 1) if os.path.exists(self._commit_path(r))]
 
-    def seen_paths(self, upto: Optional[int] = None) -> List[str]:
-        rounds = self.committed_rounds()
-        if upto is not None:
-            rounds = [r for r in rounds if r <= upto]
-        return [self.seen_delta_path(r) for r in rounds if os.path.isdir(self.seen_delta_path(r))]
+    def seen_paths(self) -> List[str]:
+        """Roots of the seen set: the latest compaction (covering rounds
+        0..upto, if one exists) plus every later round's delta. Without
+        compaction this grows O(rounds); FrontierEngine.compact_seen (run
+        automatically every cfg.compact_seen_every rounds) keeps the
+        component count — and so each round's seen-scan file listing —
+        bounded for crawls of any age."""
+        base: List[str] = []
+        lo = -1
+        sc = self.read_seen_compact()
+        if sc is not None:
+            base.append(os.path.join(self.dir, sc["path"]))
+            lo = sc["upto"]
+        return base + [
+            self.seen_delta_path(r)
+            for r in self.committed_rounds()
+            if r > lo and os.path.isdir(self.seen_delta_path(r))
+        ]
+
+    def read_seen_compact(self) -> Optional[dict]:
+        """{"upto": r, "path": relpath} of the live compaction, or None."""
+        try:
+            with open(os.path.join(self.dir, "seen_compact.json")) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return None
+
+    def set_seen_compact(self, upto: int, relpath: str) -> None:
+        """Atomically flip the seen-compaction pointer. Last-writer-wins is
+        safe: any writer's (upto, path) pair is self-consistent, and deltas
+        above EVERY possible upto are retained until vacuum observes the
+        current pointer."""
+        _atomic_write(
+            os.path.join(self.dir, "seen_compact.json"),
+            json.dumps({"upto": int(upto), "path": relpath}).encode(),
+        )
 
     def metrics_paths(self) -> List[str]:
         return [self.metrics_path(r) for r in self.committed_rounds() if os.path.isdir(self.metrics_path(r))]

@@ -18,8 +18,11 @@ Scale shape per round (what survives 1000 executors × 100 TB):
   binary `bytes` column is only read by the optional payload-verify stage
   (column pruning, SURVEY.md §7 risk (e)).
 * dedup: Bloom probe partition-wise by seen-bucket (no broadcast of blobs),
-  exact anti-join only on Bloom positives against the bucket-pruned seen
-  parquet. False positives re-check exactly; URLs are never lost.
+  exact anti-join only on Bloom positives against the seen parquet pruned
+  to the positives' own buckets (PartitionFilters). False positives
+  re-check exactly; URLs are never lost. Per-round seen deltas are merged
+  by compact_seen every cfg.compact_seen_every rounds, so both the
+  re-check and result reads list O(1) roots regardless of crawl age.
 * politeness window: one shuffle by host, budgets data-determined so
   local[8] and local[32] produce identical admissions.
 * writes: the round's new URLs are written ONCE, bucket-partitioned, in a
@@ -71,6 +74,11 @@ class EngineConfig:
     # count the per-round candidate set (extra materialization of the
     # extract+dedup pipeline) — rich metrics for tests, off for benchmarks
     detailed_metrics: bool = True
+    # merge per-round seen deltas into one bucketed table whenever the
+    # component count exceeds this (0/None disables). Keeps the per-round
+    # seen file listing O(1) in crawl age — without it a thousand-round
+    # crawl scans a thousand delta roots per re-check/result read.
+    compact_seen_every: Optional[int] = 16
     bloom: B.BloomParams = field(default_factory=B.BloomParams)
     verify_payloads: bool = False  # per-row PSNR/phash/caption invariants
 
@@ -183,12 +191,14 @@ class FrontierEngine:
     # ------------------------------------------------------------ seen probe
     def _filter_new(self, store: JobStateStore, candidates: DataFrame, persisted: Optional[list] = None) -> DataFrame:
         """Anti-join candidates against the seen set (U2/J1). Bloom path:
-        partition-wise probe, exact anti-join only on positives."""
-        seen = self._seen_df(store)
-        if seen is None:
+        partition-wise probe, exact anti-join of the positives ONLY, against
+        ONLY the seen buckets the positives fall in (PartitionFilter-pruned
+        scan) — the re-check cost tracks the Bloom FP count, not seen-set
+        age or size."""
+        if not store.seen_paths():
             return candidates
         if not self.cfg.use_bloom:
-            return candidates.join(seen.select("url_hash"), "url_hash", "left_anti")
+            return candidates.join(self._seen_df(store).select("url_hash"), "url_hash", "left_anti")
 
         blobs = {b: p for b, p in store.bloom_blobs().items()}
         params = self.cfg.bloom
@@ -222,8 +232,18 @@ class FrontierEngine:
             persisted.append(probed)
         fresh = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
         positives = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
-        # exact re-check: a Bloom false positive must never lose a URL
-        survivors = positives.join(seen.select("url_hash"), "url_hash", "left_anti")
+        # exact re-check: a Bloom false positive must never lose a URL.
+        # Positives are rare (FP rate + true re-discoveries), so first
+        # collect their DISTINCT bucket list (≤ seen_buckets ints, read off
+        # the just-persisted probe output) and prune the seen scan to those
+        # buckets — the PartitionFilter keeps re-check IO proportional to
+        # the positives, where the unpruned join re-scanned the ENTIRE seen
+        # history every round (O(crawl age), the 10^10-scale killer).
+        pos_buckets = [r[0] for r in positives.select("seen_bucket").distinct().collect()]
+        if not pos_buckets:
+            return fresh
+        pruned_seen = self._seen_df(store, buckets=pos_buckets)
+        survivors = positives.join(pruned_seen.select("url_hash"), "url_hash", "left_anti")
         return fresh.unionByName(survivors)
 
     def _write_bucketed(
@@ -284,6 +304,38 @@ class FrontierEngine:
         stats = rows.groupBy("seen_bucket").applyInPandas(build, schema="bucket int, n long").collect()
         return [(row["bucket"], row["n"]) for row in stats]
 
+    # ------------------------------------------------------------ compaction
+    def compact_seen(self, job_id: str) -> dict:
+        """Merge all current seen components (previous compaction + later
+        per-round deltas) into ONE bucket-partitioned table and flip the
+        store's compaction pointer to it — the Iceberg rewrite_data_files
+        maintenance job for the seen set. Readers are unchanged during and
+        after (seen_paths() swaps components for an identical row set);
+        deltas stay on disk until vacuum() observes the new pointer, so a
+        crash at any step leaves a consistent store. Deltas are disjoint by
+        construction (a URL enters seen in exactly one round), so the merge
+        is a plain union."""
+        import shutil
+
+        store = self.store(job_id)
+        last = store.last_committed()
+        paths = store.seen_paths()
+        if last is None or len(paths) <= 1:
+            return {"compacted": False, "n_components": len(paths)}
+        staging = store.seen_compact_staging(last)
+        if os.path.isdir(staging):  # crashed earlier attempt at this round
+            shutil.rmtree(staging)
+        df = self._seen_df(store)
+        # one file per bucket (repartition BY the partition column before
+        # partitionBy, else every input partition writes a file per bucket)
+        (
+            df.repartition(self.cfg.seen_buckets, F.col("seen_bucket"))
+            .write.partitionBy("seen_bucket")
+            .parquet(staging)
+        )
+        store.set_seen_compact(last, os.path.relpath(staging, store.dir))
+        return {"compacted": True, "upto": last, "n_components": len(paths)}
+
     # ------------------------------------------------------------ main loop
     def run_job(
         self,
@@ -321,6 +373,9 @@ class FrontierEngine:
             stats = self._run_round(store, r, depth_limit)
             stats.wall_ms = int((time.monotonic() - t0) * 1000)
             self._write_round_metrics(store, r, stats)
+            every = self.cfg.compact_seen_every
+            if every and len(store.seen_paths()) > every:
+                self.compact_seen(job_id)
             rounds_done += 1
             last = r
             info = store.read_commit(last)

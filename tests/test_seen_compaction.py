@@ -1,0 +1,126 @@
+"""Seen-set compaction (Iceberg rewrite_data_files analog) and the
+bucket-pruned exact re-check: per-round seen IO must stay bounded as a
+crawl ages — components are merged every cfg.compact_seen_every rounds,
+readers see identical rows before/after, resume lands on oracle state,
+vacuum reclaims covered deltas, and the Bloom-positive re-check scan is
+pruned to the positives' buckets (PartitionFilters in the plan)."""
+
+import io
+import os
+from contextlib import redirect_stdout
+
+from distributed_web_crawler_spark.fixtures import corpus as C
+from distributed_web_crawler_spark.oracle.crawler import PolitenessPolicy, crawl
+from distributed_web_crawler_spark.plans.frontier import EngineConfig, FrontierEngine
+
+
+def _engine(spark, corpus_1k, tmp_path, **cfg):
+    spec, path = corpus_1k
+    eng = FrontierEngine(
+        spark,
+        str(tmp_path / "wh"),
+        path,
+        spec,
+        EngineConfig(use_bloom=True, seen_buckets=8, **cfg),
+    )
+    seed_i = next(i for i in range(spec.n) if len(C.out_links(i, spec)) >= 3)
+    return eng, spec, seed_i
+
+
+def _seen_rows(eng, job):
+    return sorted(
+        (r["url_hash"], r["url"], r["depth"], r["seen_bucket"])
+        for r in eng.seen_df(job).collect()
+    )
+
+
+def test_compaction_reader_equivalence_and_vacuum(spark, corpus_1k, tmp_path):
+    eng, spec, seed_i = _engine(spark, corpus_1k, tmp_path, compact_seen_every=None)
+    eng.run_job("c1", C.url_of(seed_i, spec), 3)
+    store = eng.store("c1")
+    before = _seen_rows(eng, "c1")
+    n_components_before = len(store.seen_paths())
+    assert n_components_before > 1  # one delta per round pre-compaction
+
+    res = eng.compact_seen("c1")
+    assert res["compacted"] and res["n_components"] == n_components_before
+    assert len(store.seen_paths()) == 1  # ONE root now
+    assert _seen_rows(eng, "c1") == before  # identical row set
+
+    # vacuum reclaims the covered deltas (none are pending-frontier refs
+    # in a completed job); readers still identical afterwards
+    stats = store.vacuum(staging_age_s=0.0)
+    assert stats["compacted_deltas"] == n_components_before
+    assert _seen_rows(eng, "c1") == before
+
+    # compacting an already-compact store is a no-op
+    assert eng.compact_seen("c1") == {"compacted": False, "n_components": 1}
+
+
+def test_resume_over_compacted_store_matches_oracle(spark, corpus_1k, tmp_path):
+    pol = PolitenessPolicy(round_duration_ms=4000)
+    eng, spec, seed_i = _engine(
+        spark, corpus_1k, tmp_path, politeness=pol, compact_seen_every=None
+    )
+    s1 = eng.run_job("c2", C.url_of(seed_i, spec), 3, max_rounds=2)
+    assert not s1["done"]
+    eng.compact_seen("c2")
+    eng.store("c2").vacuum(staging_age_s=0.0)  # reclaim covered deltas mid-crawl
+    s2 = eng.run_job("c2", C.url_of(seed_i, spec), 3)
+    assert s2["done"]
+    o = crawl(seed_i, 3, spec, politeness=pol)
+    assert eng.client_payload("c2", 3) == o.levels_sorted()
+
+
+def test_auto_compaction_bounds_components_over_many_rounds(spark, corpus_1k, tmp_path):
+    """A politeness crawl with a tight budget drains depth 2 over many
+    sub-rounds; with compact_seen_every=4 the seen component count — and so
+    the per-round re-check/list cost — must stay bounded instead of growing
+    O(rounds), with final results still exactly the oracle's."""
+    pol = PolitenessPolicy(round_duration_ms=500)  # budget 1/host: many sub-rounds
+    eng, spec, _ = _engine(spark, corpus_1k, tmp_path, politeness=pol, compact_seen_every=4)
+    # multi-seed batch: indices 0..149 put 15 URLs on mega-host 0 (every
+    # 10th page), whose budget of 1 forces ≥15 sub-rounds at depth 0 alone
+    seeds = [C.url_of(i, spec) for i in range(150)]
+    max_components = []
+    eng.run_job(
+        "c3",
+        seeds,
+        2,
+        on_round=lambda s: max_components.append(len(eng.store("c3").seen_paths())),
+    )
+    n_rounds = len(max_components)
+    assert n_rounds >= 15  # the schedule actually exercised many sub-rounds
+    # bound: every + 1 transient components right before a compaction kicks in
+    assert max(max_components) <= 5, max_components
+    # politeness + compaction change the SCHEDULE, never the result: the
+    # final per-depth payload equals an unthrottled, uncompacted run's
+    eng2, _, _ = _engine(spark, corpus_1k, tmp_path / "b", compact_seen_every=None)
+    eng2.run_job("ref", seeds, 2)
+    assert eng.client_payload("c3", 2) == eng2.client_payload("ref", 2)
+
+
+def test_recheck_scan_is_bucket_pruned(spark, corpus_1k, tmp_path):
+    """The exact re-check must read ONLY the seen buckets the Bloom
+    positives fall in: the pruned seen DataFrame's scan shows the bucket
+    filter as a PartitionFilter (pushed to the file listing), both on raw
+    deltas and on a compacted table."""
+    eng, spec, seed_i = _engine(spark, corpus_1k, tmp_path, compact_seen_every=None)
+    eng.run_job("c4", C.url_of(seed_i, spec), 3)
+    store = eng.store("c4")
+
+    def plan_of(df):
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    for label in ("deltas", "compacted"):
+        pruned = eng._seen_df(store, buckets=[2, 5])
+        plan = plan_of(pruned)
+        assert "PartitionFilters" in plan, (label, plan)
+        seg = plan.split("PartitionFilters", 1)[1].split("\n", 1)[0]
+        assert "seen_bucket" in seg, (label, seg)
+        assert sorted(r["seen_bucket"] for r in pruned.select("seen_bucket").distinct().collect()) <= [2, 5]
+        if label == "deltas":
+            eng.compact_seen("c4")

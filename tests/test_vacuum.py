@@ -43,7 +43,13 @@ def test_vacuum_preserves_results_and_resume(spark, corpus_1k, tmp_path):
         assert os.path.exists(p), b
     # vacuuming again is a no-op
     again = store.vacuum()
-    assert again == {"aborted_rounds": 0, "stale_blooms": 0, "stale_deferred": 0}
+    assert again == {
+        "aborted_rounds": 0,
+        "stale_blooms": 0,
+        "stale_deferred": 0,
+        "stale_compacts": 0,
+        "compacted_deltas": 0,
+    }
 
 
 def test_vacuum_mid_crawl_then_resume(spark, corpus_1k, tmp_path):
