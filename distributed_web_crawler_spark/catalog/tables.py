@@ -176,10 +176,18 @@ class JobStateStore:
                     if live_blob.get(bucket) != r:
                         os.unlink(os.path.join(blooms_dir, f))
                         stats["stale_blooms"] += 1
+            # deferred sets are laid out as deferred/due=<s>/... — one root
+            # per scheduled sub-round; sweep each slice the manifest no
+            # longer references (it was admitted), then the empty root
             def_path = self.deferred_path(r)
-            if os.path.isdir(def_path) and def_path not in live_paths:
-                shutil.rmtree(def_path)
-                stats["stale_deferred"] += 1
+            if os.path.isdir(def_path):
+                for child in os.listdir(def_path):
+                    p = os.path.join(def_path, child)
+                    if p not in live_paths:
+                        shutil.rmtree(p, ignore_errors=True)
+                        stats["stale_deferred"] += 1
+                if not os.listdir(def_path):
+                    os.rmdir(def_path)
         sc = self.read_seen_compact()
         if sc is not None:
             live_compact = os.path.join(self.dir, sc["path"])

@@ -36,30 +36,47 @@ def budget_col(host_col, policy: PolitenessPolicy):
     return F.greatest(F.lit(1), F.floor(F.lit(policy.round_duration_ms) / delay)).cast("int")
 
 
-def max_budget(policy: PolitenessPolicy) -> int:
-    """Data-independent upper bound of budget_col (delay ≥ 500 ms)."""
-    return max(1, policy.round_duration_ms // 500)
+def schedule(pending: DataFrame, policy: PolitenessPolicy) -> Tuple[DataFrame, DataFrame]:
+    """Compute a depth's ENTIRE politeness schedule in one window pass:
+    returns (admitted_now, scheduled) where `admitted_now` is sub-round 0's
+    slice (rank ≤ budget per host) and `scheduled` carries a `due` column =
+    ``ceil(rn/budget) - 1`` ≥ 1, the sub-round at which the row becomes
+    admissible. Slicing by `due` reproduces the iterative
+    admit-budget-per-sub-round schedule EXACTLY (stable per-host order), so
+    the engine can write each future sub-round's slice ONCE and admit it
+    later by manifest reference — total politeness bytes written are
+    O(pending), where re-running the window and rewriting the remainder
+    every sub-round cost O(pending × sub_rounds) (the r2 verdict's
+    write-amplification item).
 
+    Scale note: the full ranking shuffles the depth's pending rows by host
+    ONCE PER DEPTH (the old loop re-shuffled the shrinking remainder every
+    sub-round). A 10^8-row mega-host still ranks inside a single task; if
+    that ever binds, range-partition the host's rows by url_hash and offset
+    ranks by partition-prefix counts — the schedule is a pure function of
+    (url_hash, url) order either way.
 
-def admit(pending: DataFrame, policy: PolitenessPolicy | None) -> Tuple[DataFrame, DataFrame]:
-    """Split a depth's pending frontier into (admitted, deferred) for one
-    sub-round. pending needs (url, host, url_hash).
-
-    The admitted filter carries a LITERAL rank bound (`_rn <= max_budget`)
-    alongside the per-host column bound: Catalyst only plans a
-    WindowGroupLimit (per-partition top-k BELOW the shuffle) for literal
-    limits, and that pushdown is the mega-host mitigation — a host with
-    millions of pending URLs contributes at most max_budget rows per map
-    partition to the window's exchange instead of all of them."""
-    if policy is None:
-        return pending, pending.limit(0)
+    Callers should persist the shared `ranked` ancestor implicitly by
+    persisting both returned frames or consuming them in one pass; the
+    engine persists `admitted_now` and writes `scheduled` in the same
+    round."""
     w = Window.partitionBy("host").orderBy(F.col("url_hash").asc(), F.col("url").asc())
     ranked = pending.withColumn("_rn", F.row_number().over(w)).withColumn(
         "_budget", budget_col(F.col("host"), policy)
     )
-    lim = F.lit(max_budget(policy))
-    admitted = ranked.filter((F.col("_rn") <= lim) & (F.col("_rn") <= F.col("_budget"))).drop(
-        "_rn", "_budget"
+    admitted = ranked.filter(F.col("_rn") <= F.col("_budget")).drop("_rn", "_budget")
+    scheduled = (
+        ranked.filter(F.col("_rn") > F.col("_budget"))
+        .withColumn("due", (F.ceil(F.col("_rn") / F.col("_budget")) - 1).cast("int"))
+        .drop("_rn", "_budget")
     )
-    deferred = ranked.filter(F.col("_rn") > F.col("_budget")).drop("_rn", "_budget")
-    return admitted, deferred
+    return admitted, scheduled
+
+
+def admit(pending: DataFrame, policy: PolitenessPolicy | None) -> Tuple[DataFrame, DataFrame]:
+    """One-sub-round view of `schedule` (kept for tests/back-compat):
+    (admitted, deferred) where deferred is everything not yet admissible."""
+    if policy is None:
+        return pending, pending.limit(0)
+    admitted, scheduled = schedule(pending, policy)
+    return admitted, scheduled.drop("due")

@@ -50,7 +50,7 @@ from ..functions import bloom as B
 from ..functions import urls as U
 from ..operators.extract import extract_links
 from ..sources.fetch import fetch_and_verify
-from ..operators.politeness import admit
+from ..operators.politeness import schedule
 from ..operators.robots import blocked_expr
 from ..oracle.crawler import PolitenessPolicy, RobotsPolicy
 
@@ -170,7 +170,7 @@ class FrontierEngine:
         df = df.withColumn("depth", F.lit(0)).select("url", "host", "url_hash", "seen_bucket", "depth")
         stats = self._write_bucketed(store, store.new_path(0), df, bloom_round=0)
         n = sum(s[1] for s in stats)
-        manifest = [[self._rel(store, store.new_path(0)), 0, n]] if n > 0 else []
+        manifest = [[self._rel(store, store.new_path(0)), 0, n, 0]] if n > 0 else []
         store.commit_round(
             0,
             {
@@ -247,7 +247,8 @@ class FrontierEngine:
         return fresh.unionByName(survivors)
 
     def _write_bucketed(
-        self, store: JobStateStore, out_dir: str, rows: DataFrame, bloom_round: Optional[int] = None
+        self, store: JobStateStore, out_dir: str, rows: DataFrame, bloom_round: Optional[int] = None,
+        slice_col: Optional[str] = None,
     ) -> List[tuple]:
         """ONE shuffle, one pass: group rows by seen_bucket; each task writes
         its bucket's parquet part (hive layout, `seen_bucket=<b>/`) AND — for
@@ -259,19 +260,30 @@ class FrontierEngine:
         pyarrow writes are the low-level-writer pattern (what an Iceberg
         writer task does); atomicity still comes from commit.json, and
         abort_round() sweeps orphans. Row counts come back with the stats —
-        no read-back count job."""
+        no read-back count job.
+
+        With `slice_col` (the politeness schedule's `due` sub-round), rows
+        are grouped by (slice, seen_bucket) and land under
+        ``out_dir/<slice_col>=<v>/seen_bucket=<b>/`` so each slice is an
+        independently-readable file-set root; stats become
+        (slice, bucket, n). Without it, stats are (None, bucket, n)."""
         blobs = store.bloom_blobs() if (self.cfg.use_bloom and bloom_round is not None) else None
         params = self.cfg.bloom
         update_blooms = blobs is not None
         r = bloom_round
+        keys = ([slice_col] if slice_col else []) + ["seen_bucket"]
 
         def build(key, pdf):
             import pandas as pd
             import pyarrow as pa
             import pyarrow.parquet as pq
 
-            bucket = int(key[0])
-            part_dir = os.path.join(out_dir, f"seen_bucket={bucket}")
+            if slice_col:
+                sl, bucket = int(key[0]), int(key[1])
+                part_dir = os.path.join(out_dir, f"{slice_col}={sl}", f"seen_bucket={bucket}")
+            else:
+                sl, bucket = -1, int(key[0])
+                part_dir = os.path.join(out_dir, f"seen_bucket={bucket}")
             os.makedirs(part_dir, exist_ok=True)
             table = pa.table(
                 {
@@ -299,9 +311,11 @@ class FrontierEngine:
                 filt = B.load_blob(blobs.get(bucket, ""), params)
                 B.add_hashes(filt, pdf["url_hash"].to_numpy(), params)
                 B.write_blob(store.bloom_blob_path(r, bucket), filt)
-            return pd.DataFrame({"bucket": [bucket], "n": [len(pdf)]})
+            return pd.DataFrame({"slice": [sl], "bucket": [bucket], "n": [len(pdf)]})
 
-        stats = rows.groupBy("seen_bucket").applyInPandas(build, schema="bucket int, n long").collect()
+        stats = rows.groupBy(*keys).applyInPandas(build, schema="slice int, bucket int, n long").collect()
+        if slice_col:
+            return [(row["slice"], row["bucket"], row["n"]) for row in stats]
         return [(row["bucket"], row["n"]) for row in stats]
 
     # ------------------------------------------------------------ compaction
@@ -399,9 +413,10 @@ class FrontierEngine:
         t = time.monotonic()
         prev = store.read_commit(r - 1)
         # the pending frontier is a MANIFEST of committed file-sets
-        # ([relpath, depth, n_rows]); the depth cursor and the no-politeness
-        # admitted count are manifest arithmetic — zero Spark jobs — and only
-        # the file-sets at the drained depth are ever opened
+        # ([relpath, depth, n_rows, due_sub]); the depth cursor, the
+        # no-politeness admitted count, AND every later sub-round's admitted
+        # count are manifest arithmetic — zero Spark jobs — and only the
+        # file-sets the round actually drains are ever opened
         manifest = prev.get("frontier_manifest")
         if manifest is None:
             raise ValueError(
@@ -411,15 +426,45 @@ class FrontierEngine:
             )
         d = min(e[1] for e in manifest)
         sub = prev["sub_round"] + 1 if prev["depth"] == d else 0
-        n_pending_d = sum(e[2] for e in manifest if e[1] == d)
-        pending = self._read_components(
-            [os.path.join(store.dir, e[0]) for e in manifest if e[1] == d]
-        )
+        entries_d = [e for e in manifest if e[1] == d]
+        n_pending_d = sum(e[2] for e in entries_d)
 
-        admitted, deferred = admit(pending, self.cfg.politeness)
-        persisted = [admitted.persist()]
-        n_admitted = n_pending_d if self.cfg.politeness is None else admitted.count()
-        n_deferred = n_pending_d - n_admitted
+        # ---- admission. Sub-round 0 ranks the depth's ENTIRE pending set
+        # once and writes each future sub-round's slice ONCE, partitioned by
+        # its computed due sub-round (`ceil(rn/budget)-1`); every later
+        # sub-round admits its slice purely BY MANIFEST REFERENCE — no
+        # politeness window re-run, no deferred-set rewrite. (The old loop
+        # re-ranked and REWROTE the whole remainder every sub-round: a
+        # mega-host with M pending and budget k wrote O(M²/k) rows; this
+        # writes O(M) total.)
+        deferred_sched = None  # rows scheduled for future sub-rounds (sub 0 only)
+        n_deferred = 0
+        if sub == 0:
+            consumed = entries_d
+            pending = self._read_components(
+                [os.path.join(store.dir, e[0]) for e in consumed]
+            )
+            if self.cfg.politeness is None:
+                admitted = pending
+                persisted = [admitted.persist()]
+                n_admitted = n_pending_d
+            else:
+                admitted, deferred_sched = schedule(pending, self.cfg.politeness)
+                persisted = [admitted.persist()]
+                n_admitted = admitted.count()
+                n_deferred = n_pending_d - n_admitted
+        else:
+            consumed = [e for e in entries_d if len(e) > 3 and e[3] == sub]
+            if not consumed:
+                raise AssertionError(
+                    f"no frontier slice due at depth {d} sub-round {sub}: "
+                    f"schedule slices must be contiguous ({entries_d})"
+                )
+            admitted = self._read_components(
+                [os.path.join(store.dir, e[0]) for e in consumed]
+            )
+            persisted = [admitted.persist()]
+            n_admitted = sum(e[2] for e in consumed)
         t = _mark("admit_ms", t)
 
         # ---- fetch: bucket-pruned corpus scan ⋈ broadcast(admitted)
@@ -484,12 +529,15 @@ class FrontierEngine:
         # ---- stage writes into the round dir (visible only after commit):
         # ONE fused shuffle+write job for the new URLs (parquet + seen delta
         # + bloom blobs all from the same pass, counts from its stats — no
-        # read-back), a second only when politeness actually deferred rows,
-        # and NO next-frontier rewrite: untouched depths carry over in the
-        # manifest by reference
+        # read-back), a second ONLY at sub-round 0 when politeness scheduled
+        # future slices (written once, partitioned by due sub-round), and NO
+        # next-frontier rewrite: untouched depths AND not-yet-due slices
+        # carry over in the manifest by reference
         t = _mark("extract_dedup_ms", t)
         deferred_future = (
-            _POOL.submit(self._write_bucketed, store, store.deferred_path(r), deferred)
+            _POOL.submit(
+                self._write_bucketed, store, store.deferred_path(r), deferred_sched, None, "due"
+            )
             if n_deferred > 0
             else None
         )
@@ -499,27 +547,37 @@ class FrontierEngine:
             stats = self._write_bucketed(store, store.new_path(r), new_rows, bloom_round=r)
             touched = [s[0] for s in stats]
             n_new = sum(s[1] for s in stats)
+        sched_entries: List[list] = []
         if deferred_future is not None:
-            n_def_written = sum(s[1] for s in deferred_future.result())
+            def_stats = deferred_future.result()
+            n_def_written = sum(s[2] for s in def_stats)
             # self-check: the manifest records arithmetic (pending - admitted);
             # the write stats come back for free — any divergence (e.g. a
-            # future budget expression breaking admit/deferred complementarity)
+            # future budget expression breaking admit/schedule complementarity)
             # must fail loudly, not corrupt n_pending_after / the done flag
             if n_def_written != n_deferred:
                 raise AssertionError(
                     f"deferred write produced {n_def_written} rows, expected {n_deferred}"
                 )
+            per_due: dict = {}
+            for due, _b, n in def_stats:
+                per_due[due] = per_due.get(due, 0) + n
+            root = store.deferred_path(r)
+            sched_entries = [
+                [self._rel(store, os.path.join(root, f"due={due}")), d, per_due[due], due]
+                for due in sorted(per_due)
+            ]
         for df_ in persisted:
             df_.unpersist()
         t = _mark("writes_ms", t)
         payload_stats = payload_future.result() if payload_future is not None else None
         _mark("fetch_verify_wait_ms", t)
 
-        next_manifest = [e for e in manifest if e[1] != d]
-        if n_deferred > 0:
-            next_manifest.append([self._rel(store, store.deferred_path(r)), d, n_deferred])
+        consumed_ids = {id(e) for e in consumed}
+        next_manifest = [e for e in manifest if id(e) not in consumed_ids]
+        next_manifest.extend(sched_entries)
         if n_new > 0:
-            next_manifest.append([self._rel(store, store.new_path(r)), d + 1, n_new])
+            next_manifest.append([self._rel(store, store.new_path(r)), d + 1, n_new, 0])
         n_pending_after = sum(e[2] for e in next_manifest)
 
         info = {
