@@ -69,36 +69,102 @@ def lsh_bucket(embeddings: DataFrame, dim: int, n_planes: int = 8) -> DataFrame:
     return embeddings.withColumn("bucket", bucket.cast("int"))
 
 
-def ann_topk(embeddings: DataFrame, query_vec: Sequence[float], dim: int, k: int = 10, n_planes: int = 8) -> DataFrame:
-    """Approximate top-k: restrict the exact scan to the query's LSH bucket.
-    Recall/latency trade-off is the bucket width (n_planes)."""
+def probe_masks(n_planes: int, n_flip: int) -> List[int]:
+    """XOR masks of every bucket within Hamming distance n_flip (multi-probe
+    LSH): mask 0 plus all ≤n_flip-bit combinations. Scan fraction ≈
+    sum_{i≤n_flip} C(n_planes, i) / 2^n_planes of brute force."""
+    from itertools import combinations
+
+    masks = [0]
+    for f in range(1, n_flip + 1):
+        masks += [sum(1 << p for p in c) for c in combinations(range(n_planes), f)]
+    return masks
+
+
+def query_bucket(query_vec: Sequence[float], dim: int, n_planes: int) -> int:
     qb = 0
     for p in range(n_planes):
         hp = hyperplane(dim, p)
-        if sum(a * b for a, b in zip(query_vec, hp)) > 0:
+        if sum(float(a) * b for a, b in zip(query_vec, hp)) > 0:
             qb |= 1 << p
+    return qb
+
+
+def ann_topk(
+    embeddings: DataFrame,
+    query_vec: Sequence[float],
+    dim: int,
+    k: int = 10,
+    n_planes: int = 8,
+    n_flip: int = 1,
+) -> DataFrame:
+    """Approximate top-k: exact cosine rank restricted to the query's LSH
+    bucket PLUS every bucket within Hamming distance `n_flip` (multi-probe).
+    Recall is controlled by two knobs: bucket width (n_planes, fewer planes
+    = wider buckets) and probe radius (n_flip, more flips = more buckets) —
+    a near neighbor is missed only if it differs from the query on MORE
+    than n_flip plane signs."""
+    qb = query_bucket(query_vec, dim, n_planes)
+    probe = [qb ^ m for m in probe_masks(n_planes, n_flip)]
     bucketed = lsh_bucket(embeddings, dim, n_planes)
-    return cosine_topk(bucketed.filter(F.col("bucket") == qb).drop("bucket"), query_vec, k)
+    return cosine_topk(bucketed.filter(F.col("bucket").isin(probe)).drop("bucket"), query_vec, k)
 
 
-def embedding_dedup_pairs(embeddings: DataFrame, dim: int, threshold: float = 0.9, n_planes: int = 8) -> DataFrame:
-    """Embedding-cosine near-dup pairs, LSH-blocked: only vectors sharing a
-    sign-LSH bucket are compared — the quadratic compare never happens
-    across buckets (the scale path for embedding dedup). Output:
-    (a_id, b_id, sim_bucket2) with cosine rounded to 2 decimals."""
-    b = lsh_bucket(embeddings, dim, n_planes).select("vec_id", "bucket", "embedding")
-    a_, b_ = b.alias("a"), b.alias("b")
-    cos = _dot(F.col("a.embedding"), F.col("b.embedding")) / (
-        _norm(F.col("a.embedding")) * _norm(F.col("b.embedding"))
+def band_key(e: Column, dim: int, band: int, band_planes: int) -> Column:
+    """Sign-LSH key of one BAND: bit j = sign of the dot with hyperplane
+    band*band_planes + j. Dots are rounded to 6 dp before the sign so both
+    engines (different float summation order) bucket identically."""
+    bits = None
+    for j in range(band_planes):
+        h = F.array(*[F.lit(x) for x in hyperplane(dim, band * band_planes + j)])
+        bit = F.when(F.round(_dot(e, h), 6) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        bits = bit if bits is None else bits + bit
+    return bits.cast("int")
+
+
+def embedding_dedup_pairs(
+    embeddings: DataFrame,
+    dim: int,
+    threshold: float = 0.9,
+    n_bands: int = 4,
+    band_planes: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs, BANDED sign-LSH (MinHash-LSH style):
+    each vector gets n_bands keys of band_planes sign bits each; candidates
+    are pairs sharing ANY band key (union of per-band equi-joins from one
+    explode), deduped, then exact-cosine verified ≥ threshold.
+
+    Scale shape: banding bounds the compare set twice over — a band bucket
+    holds ≈ N/2^band_planes vectors, and a true near-dup pair collides with
+    probability 1-(1-p^r)^B (p = per-plane agreement, r = band_planes,
+    B = n_bands), tunable without widening any single bucket (a single
+    8-plane bucket was the r2 verdict's all-pairs-within-bucket liability).
+    Only (vec_id, band, key) rides the candidate shuffle; vectors join back
+    BY ID for the verify step, so embeddings never ride the explode."""
+    e = embeddings.select(
+        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("e")
     )
-    return (
-        a_.join(b_, "bucket")
+    structs = [
+        F.struct(F.lit(b).alias("band"), band_key(F.col("e"), dim, b, band_planes).alias("key"))
+        for b in range(n_bands)
+    ]
+    bk = e.select("vec_id", F.explode(F.array(*structs)).alias("bk")).select(
+        "vec_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    cand = (
+        bk.alias("a")
+        .join(bk.alias("b"), ["band", "key"])
         .filter(F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("a_id"),
-            F.col("b.vec_id").alias("b_id"),
-            F.round(cos, 2).alias("sim_bucket2"),
-        )
+        .select(F.col("a.vec_id").alias("a_id"), F.col("b.vec_id").alias("b_id"))
+        .distinct()
+    )
+    ea = e.select(F.col("vec_id").alias("a_id"), F.col("e").alias("ea"))
+    eb = e.select(F.col("vec_id").alias("b_id"), F.col("e").alias("eb"))
+    cos = _dot(F.col("ea"), F.col("eb")) / (_norm(F.col("ea")) * _norm(F.col("eb")))
+    return (
+        cand.join(ea, "a_id")
+        .join(eb, "b_id")
+        .select("a_id", "b_id", F.round(cos, 2).alias("sim_bucket2"))
         .filter(F.col("sim_bucket2") >= threshold)
     )
 

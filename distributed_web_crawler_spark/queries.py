@@ -191,13 +191,35 @@ EMB_DIM = 64
 N_PLANES = 8
 
 
+N_FLIP = 1  # multi-probe radius: query bucket + all 1-bit-adjacent buckets
+
+
 def q_ann_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
-    return S.ann_topk(emb, _query_vec(spark, sf_dir), EMB_DIM, k=10, n_planes=N_PLANES)
+    return S.ann_topk(emb, _query_vec(spark, sf_dir), EMB_DIM, k=10, n_planes=N_PLANES, n_flip=N_FLIP)
+
+
+# near-dup augmentation: the driver's embeddings are random unit vectors
+# (no natural near-dups at 0.9), so the query plants deterministic ones —
+# vec_id < N_DUP re-enters as vec_id+1e6 with +0.02 on every component
+# (cos ≈ 0.99) — and the banded-LSH result is checked non-trivially against
+# the oracle doing the identical augmentation in SQL.
+N_DUP = 16
+DUP_EPS = "0.02"
+
+
+def _augmented_embeddings(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("embedding"))
+    dups = emb.filter(F.col("vec_id") < N_DUP).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.expr(f"transform(embedding, x -> CAST(x AS DOUBLE) + {DUP_EPS}D)").alias("embedding"),
+    )
+    return base.unionByName(dups)
 
 
 def q_embedding_dedup_pairs(spark, sf_dir):
-    return S.embedding_dedup_pairs(_t(spark, sf_dir, "embeddings"), EMB_DIM, 0.9, N_PLANES)
+    return S.embedding_dedup_pairs(_augmented_embeddings(spark, sf_dir), EMB_DIM, 0.9)
 
 
 N_CENTROIDS = 16
@@ -461,6 +483,12 @@ SELECT d.lang, count(*) AS n_docs, round(avg(q.n_tokens), 3) AS avg_tokens,
 FROM documents d JOIN keepers k ON d.doc_id = k.doc_id JOIN quality q ON q.doc_id = d.doc_id
 GROUP BY d.lang"""
 
+def _probe_masks_sql() -> str:
+    from .operators.similarity import probe_masks
+
+    return "(" + ", ".join(str(m) for m in probe_masks(N_PLANES, N_FLIP)) + ")"
+
+
 ORACLE_SQL["ann_topk"] = f"""
 WITH b AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, {_bucket_sql('CAST(embedding AS DOUBLE[])')} AS bucket
@@ -468,7 +496,7 @@ WITH b AS (
 ), q AS (SELECT e AS qe, bucket AS qb FROM b WHERE vec_id = 0),
 scored AS (
   SELECT vec_id, list_cosine_similarity(e, (SELECT qe FROM q)) AS cos
-  FROM b WHERE bucket = (SELECT qb FROM q)
+  FROM b WHERE xor(bucket, (SELECT qb FROM q)) IN {_probe_masks_sql()}
 ), ranked AS (
   SELECT CAST(row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS INT) AS rank, vec_id, round(cos, 2) AS sim_bucket
   FROM scored
@@ -514,14 +542,44 @@ ranked AS (
 )
 SELECT rank, vec_id, sim_bucket FROM ranked WHERE rank <= 10"""
 
-ORACLE_SQL["embedding_dedup_pairs"] = f"""
-WITH b AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, {_bucket_sql('CAST(embedding AS DOUBLE[])')} AS bucket
-  FROM embeddings
+def _band_key_sql(vec_expr: str, band: int, band_planes: int = 6) -> str:
+    """One band's sign-LSH key — SAME hyperplanes + 6-dp rounding as the
+    Spark operator (operators/similarity.py band_key), inlined literally."""
+    from .operators.similarity import hyperplane
+
+    terms = []
+    for j in range(band_planes):
+        lit = "[" + ", ".join(str(x) for x in hyperplane(EMB_DIM, band * band_planes + j)) + "]"
+        terms.append(
+            f"(CASE WHEN round(list_dot_product({vec_expr}, {lit}), 6) > 0 THEN {1 << j} ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def _banded_dedup_sql(n_bands: int = 4, band_planes: int = 6) -> str:
+    bands = " UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band, {_band_key_sql('e', b, band_planes)} AS key FROM aug"
+        for b in range(n_bands)
+    )
+    return f"""
+WITH aug AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000, list_transform(CAST(embedding AS DOUBLE[]), x -> x + {DUP_EPS})
+  FROM embeddings WHERE vec_id < {N_DUP}
+),
+bands AS ({bands}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+  WHERE a.vec_id < b.vec_id
 )
-SELECT a.vec_id AS a_id, b2.vec_id AS b_id, round(list_cosine_similarity(a.e, b2.e), 2) AS sim_bucket2
-FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
-WHERE round(list_cosine_similarity(a.e, b2.e), 2) >= 0.9"""
+SELECT c.a_id, c.b_id, round(list_cosine_similarity(ea.e, eb.e), 2) AS sim_bucket2
+FROM cand c JOIN aug ea ON ea.vec_id = c.a_id JOIN aug eb ON eb.vec_id = c.b_id
+WHERE round(list_cosine_similarity(ea.e, eb.e), 2) >= 0.9"""
+
+
+ORACLE_SQL["embedding_dedup_pairs"] = _banded_dedup_sql()
 
 
 def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -45,3 +45,82 @@ def test_signature_width_and_range(spark):
         F.max(F.greatest(*[F.col(f"h{i}") for i in range(D.N_MINHASHES)])).alias("hi"),
     ).collect()[0]
     assert 0 <= row["lo"] and row["hi"] < D._MH_P
+
+
+def _emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def test_banded_embedding_dedup_recall(spark):
+    """Banded sign-LSH near-dup pairs on PLANTED near-duplicates: recall vs
+    the exact all-pairs oracle must be high (deterministic planes + data →
+    a fixed value; assert a floor), precision exact (the verify stage is
+    exact cosine), and the result non-empty — the r2 row was green only
+    because both sides returned zero pairs."""
+    from distributed_web_crawler_spark.operators import similarity as S
+    from pyspark.sql import functions as F
+
+    base = _emb(spark).select(
+        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("embedding")
+    )
+    dups = base.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.expr("transform(embedding, x -> x + 0.02D)").alias("embedding"),
+    )
+    aug = base.unionByName(dups)
+    got = {(r["a_id"], r["b_id"]) for r in S.embedding_dedup_pairs(aug, 64, 0.9).collect()}
+
+    # exact all-pairs oracle (test-only quadratic form)
+    a = aug.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("ea"))
+    b = aug.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("eb"))
+    cos = S._dot(F.col("ea"), F.col("eb")) / (S._norm(F.col("ea")) * S._norm(F.col("eb")))
+    exact = {
+        (r["a_id"], r["b_id"])
+        for r in a.crossJoin(b)
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(F.round(cos, 2) >= 0.9)
+        .collect()
+    }
+    assert len(exact) >= 20  # the planted pairs really are near-dups
+    assert got <= exact  # exact-verify stage ⇒ no false positives
+    recall = len(got) / len(exact)
+    assert recall >= 0.9, (recall, len(got), len(exact))
+
+
+def test_multiprobe_ann_recall_grows_with_flips(spark):
+    """Multi-probe ANN vs brute-force top-k on a fixture with PLANTED
+    neighbors of the query: (a) true near-dups land in the query's own
+    bucket (flip-0 already finds them all), (b) recall is monotone
+    non-decreasing in n_flip and strictly grows over the probe range as
+    the far tail gets picked up, (c) n_flip = n_planes degenerates to
+    exact brute force."""
+    from distributed_web_crawler_spark.operators import similarity as S
+    from pyspark.sql import functions as F
+
+    base = _emb(spark).select(
+        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("embedding")
+    )
+    q = list(base.filter("vec_id = 7").collect()[0]["embedding"])
+    dups = None
+    for j, eps in enumerate([0.01, 0.05, 0.1, 0.15, 0.2]):
+        d = base.filter(F.col("vec_id") == 7).select(
+            F.lit(1_000_000 + j).alias("vec_id"),
+            F.expr(f"transform(embedding, x -> x + {eps}D)").alias("embedding"),
+        )
+        dups = d if dups is None else dups.unionByName(d)
+    aug = base.unionByName(dups)
+    brute = {r["vec_id"] for r in S.cosine_topk(aug, q, k=10).collect()}
+    assert {1_000_000 + j for j in range(5)} <= brute  # planted = true top
+
+    def probe(n_flip):
+        return {r["vec_id"] for r in S.ann_topk(aug, q, 64, k=10, n_planes=8, n_flip=n_flip).collect()}
+
+    got = {f: probe(f) for f in (0, 3, 8)}
+    # (a) every planted near-dup is recalled WITHOUT any probing
+    assert {1_000_000 + j for j in range(5)} <= got[0]
+    rec = {f: len(g & brute) / len(brute) for f, g in got.items()}
+    # (b) monotone, with strict growth across the probe range
+    assert rec[0] <= rec[3] <= rec[8], rec
+    assert rec[3] > rec[0], rec
+    # (c) full flip radius == brute force
+    assert got[8] == brute and rec[8] == 1.0
