@@ -280,3 +280,133 @@ def generate_batches(indices: np.ndarray, spec: CorpusSpec, batch: int = 2048) -
     for lo in range(0, len(indices), batch):
         chunk = indices[lo : lo + batch]
         yield pd.DataFrame([make_row(int(i), spec) for i in chunk])
+
+
+# ------------------------------------------------------- audio/video payloads
+#
+# The multimodal operators (operators/multimodal.py) need real, decodable
+# audio/video blobs to be testable without external codec libraries:
+#
+# * audio is STANDARD RIFF/WAVE 16-bit PCM, written and read with the
+#   stdlib `wave` module — a real-world format, no codec dependency;
+# * video is a deterministic fake container "FVID" in the style of the
+#   FPNG image codec above: header + one FPNG-encoded frame per index.
+#   (Real MP4/MKV need ffmpeg/PyAV, gated behind an import-try.)
+
+AUDIO_RATE = 8000  # Hz — small deterministic clips
+
+
+def clip_id(i: int) -> str:
+    return f"clip{i:08d}"
+
+
+def audio_samples(i: int, spec: CorpusSpec) -> np.ndarray:
+    """Deterministic int16 mono samples: two seeded sine tones + PCG noise,
+    0.25-2.0 s long. Pure function of (seed, i)."""
+    n = AUDIO_RATE // 4 + (xxh64(f"{spec.seed}:alen:{i}") % (AUDIO_RATE * 7 // 4))
+    f1 = 100 + xxh64(f"{spec.seed}:af1:{i}") % 900
+    f2 = 100 + xxh64(f"{spec.seed}:af2:{i}") % 1900
+    amp = 0.2 + (xxh64(f"{spec.seed}:aamp:{i}") % 500) / 1000.0
+    t = np.arange(n, dtype=np.float64) / AUDIO_RATE
+    rng = np.random.Generator(np.random.PCG64(spec.seed * 20_000_003 + i))
+    wave_ = amp * (0.6 * np.sin(2 * np.pi * f1 * t) + 0.4 * np.sin(2 * np.pi * f2 * t))
+    wave_ += 0.02 * rng.standard_normal(n)
+    return np.clip(wave_ * 32767.0, -32768, 32767).astype(np.int16)
+
+
+def encode_wav(samples: np.ndarray, rate: int = AUDIO_RATE) -> bytes:
+    """Standard mono 16-bit PCM WAV via the stdlib wave module."""
+    import io
+    import wave as wave_mod
+
+    buf = io.BytesIO()
+    with wave_mod.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(samples.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """(int16 samples [n, channels], rate) from RIFF/WAVE PCM bytes."""
+    import io
+    import wave as wave_mod
+
+    with wave_mod.open(io.BytesIO(data), "rb") as w:
+        n, rate, width, ch = w.getnframes(), w.getframerate(), w.getsampwidth(), w.getnchannels()
+        if width != 2:
+            raise NotImplementedError(f"only 16-bit PCM supported, got {8 * width}-bit")
+        samples = np.frombuffer(w.readframes(n), dtype="<i2").reshape(n, ch)
+    return samples, rate
+
+
+def make_audio_row(i: int, spec: CorpusSpec) -> dict:
+    s = audio_samples(i, spec)
+    return {"clip_id": clip_id(i), "bytes": encode_wav(s), "rate": AUDIO_RATE, "n_samples": len(s)}
+
+
+VIDEO_MAGIC = b"FVID"
+
+
+def video_id(i: int) -> str:
+    return f"vid{i:08d}"
+
+
+def n_frames_of(i: int, spec: CorpusSpec) -> int:
+    return 8 + xxh64(f"{spec.seed}:vlen:{i}") % 57  # 8..64 frames
+
+
+def video_frame(i: int, k: int, spec: CorpusSpec) -> np.ndarray:
+    """Frame k of video i: seeded noise + a moving gradient so consecutive
+    frames differ deterministically."""
+    w, h = dims_of(i)
+    rng = np.random.Generator(np.random.PCG64(spec.seed * 30_000_017 + i * 1009 + k))
+    base = rng.integers(0, 200, size=(h, w, 3), dtype=np.uint8)
+    ramp = ((np.arange(w) + 3 * k) % 56).astype(np.uint8)[None, :, None]
+    return (base + ramp).astype(np.uint8)
+
+
+def encode_video(frames: list[np.ndarray]) -> bytes:
+    """FVID container: magic + u16 w,h,n_frames, then per frame a u32
+    length prefix + FPNG blob (the lossless fake image codec)."""
+    h, w, _ = frames[0].shape
+    out = [VIDEO_MAGIC, w.to_bytes(2, "little"), h.to_bytes(2, "little"),
+           len(frames).to_bytes(2, "little")]
+    for f in frames:
+        blob = encode_image(f, "png")
+        out.append(len(blob).to_bytes(4, "little"))
+        out.append(blob)
+    return b"".join(out)
+
+
+def decode_video(data: bytes) -> list[np.ndarray]:
+    if data[:4] != VIDEO_MAGIC:
+        raise ValueError("not an FVID container")
+    n = int.from_bytes(data[8:10], "little")
+    frames, off = [], 10
+    for _ in range(n):
+        ln = int.from_bytes(data[off : off + 4], "little")
+        off += 4
+        frames.append(decode_image(data[off : off + ln])[0])
+        off += ln
+    return frames
+
+
+def iter_video_frame_blobs(data: bytes):
+    """Yield (frame_idx, fpng_blob) without decoding pixels — the frame
+    SAMPLER must not pay decode cost for frames it skips."""
+    if data[:4] != VIDEO_MAGIC:
+        raise ValueError("not an FVID container")
+    n = int.from_bytes(data[8:10], "little")
+    off = 10
+    for k in range(n):
+        ln = int.from_bytes(data[off : off + 4], "little")
+        off += 4
+        yield k, data[off : off + ln]
+        off += ln
+
+
+def make_video_row(i: int, spec: CorpusSpec) -> dict:
+    frames = [video_frame(i, k, spec) for k in range(n_frames_of(i, spec))]
+    return {"video_id": video_id(i), "bytes": encode_video(frames), "n_frames": len(frames)}

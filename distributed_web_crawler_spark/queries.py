@@ -258,6 +258,57 @@ def q_clean_corpus_stats(spark, sf_dir):
     )
 
 
+# ------------------------------------------------- multimodal (audio/video)
+#
+# The driver testdata has no audio/video tables, so these queries
+# synthesize their input deterministically (pure functions of (seed, i),
+# fixtures/corpus.py) and run the REAL operators over the binary columns:
+# Spark decodes actual RIFF/WAVE bytes with the stdlib wave module /
+# walks actual FVID containers, while the DuckDB oracle is an
+# independently-computed VALUES table derived straight from the sample
+# generators (never through the codec round-trip) — a genuine two-path
+# check of the distributed decode pipeline.
+
+N_CLIPS = 64
+N_VIDS = 16
+FRAME_EVERY = 10
+
+
+def q_audio_features(spark, sf_dir):
+    import pandas as pd
+
+    from .fixtures import corpus as C
+    from .operators.multimodal import audio_features
+
+    spec = C.CorpusSpec(n=N_CLIPS)
+    rows = [C.make_audio_row(i, spec) for i in range(N_CLIPS)]
+    df = spark.createDataFrame(pd.DataFrame(rows)[["clip_id", "bytes"]])
+    f = audio_features(df)
+    return f.select(
+        "clip_id",
+        F.round("duration_s", 6).alias("duration_s6"),
+        "sample_rate",
+        "n_channels",
+        F.round("rms", 6).alias("rms6"),
+        F.round("peak", 6).alias("peak6"),
+    )
+
+
+def q_video_frame_sample(spark, sf_dir):
+    import pandas as pd
+
+    from .fixtures import corpus as C
+    from .operators.multimodal import sample_video_frames
+
+    spec = C.CorpusSpec(n=N_VIDS)
+    rows = [C.make_video_row(i, spec) for i in range(N_VIDS)]
+    df = spark.createDataFrame(pd.DataFrame(rows)[["video_id", "bytes"]])
+    sampled = sample_video_frames(df, every_n=FRAME_EVERY)
+    return sampled.select(
+        "video_id", "frame_idx", "n_frames", F.sha2(F.col("bytes"), 256).alias("frame_sha")
+    )
+
+
 def q_windowed_metrics(spark, sf_dir):
     from .streaming.windows import windowed_counts
 
@@ -582,6 +633,58 @@ WHERE round(list_cosine_similarity(ea.e, eb.e), 2) >= 0.9"""
 ORACLE_SQL["embedding_dedup_pairs"] = _banded_dedup_sql()
 
 
+def _audio_oracle_sql() -> str:
+    """Expected audio features computed DIRECTLY from the sample generator
+    (numpy over audio_samples), never through the WAV encode/decode path
+    the Spark operator exercises — inlined as a VALUES table."""
+    import numpy as np
+
+    from .fixtures import corpus as C
+
+    spec = C.CorpusSpec(n=N_CLIPS)
+    vals = []
+    for i in range(N_CLIPS):
+        s = C.audio_samples(i, spec)
+        x = s.astype(np.float64) / 32768.0
+        vals.append(
+            f"('{C.clip_id(i)}', {round(len(s) / C.AUDIO_RATE, 6)!r}, {C.AUDIO_RATE}, 1, "
+            f"{round(float(np.sqrt(np.mean(x * x))), 6)!r}, {round(float(np.abs(x).max()), 6)!r})"
+        )
+    return (
+        "SELECT clip_id, CAST(duration_s6 AS DOUBLE) AS duration_s6, "
+        "CAST(sample_rate AS INT) AS sample_rate, CAST(n_channels AS INT) AS n_channels, "
+        "CAST(rms6 AS DOUBLE) AS rms6, CAST(peak6 AS DOUBLE) AS peak6 "
+        "FROM (VALUES " + ", ".join(vals)
+        + ") AS t(clip_id, duration_s6, sample_rate, n_channels, rms6, peak6)"
+    )
+
+
+def _video_oracle_sql() -> str:
+    """Expected sampled frames: frame payload sha256 computed from the
+    generator's per-frame FPNG blob (the container walk is Spark's job)."""
+    import hashlib
+
+    from .fixtures import corpus as C
+
+    spec = C.CorpusSpec(n=N_VIDS)
+    vals = []
+    for i in range(N_VIDS):
+        n = C.n_frames_of(i, spec)
+        for k in range(0, n, FRAME_EVERY):
+            blob = C.encode_image(C.video_frame(i, k, spec), "png")
+            sha = hashlib.sha256(blob).hexdigest()
+            vals.append(f"('{C.video_id(i)}', {k}, {n}, '{sha}')")
+    return (
+        "SELECT video_id, CAST(frame_idx AS INT) AS frame_idx, "
+        "CAST(n_frames AS INT) AS n_frames, frame_sha "
+        "FROM (VALUES " + ", ".join(vals) + ") AS t(video_id, frame_idx, n_frames, frame_sha)"
+    )
+
+
+ORACLE_SQL["audio_features"] = _audio_oracle_sql()
+ORACLE_SQL["video_frame_sample"] = _video_oracle_sql()
+
+
 def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bfs_frontier": q_bfs_frontier,
@@ -610,6 +713,8 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_host_agg": q_salted_host_agg,
         "windowed_metrics": q_windowed_metrics,
         "clean_corpus_stats": q_clean_corpus_stats,
+        "audio_features": q_audio_features,
+        "video_frame_sample": q_video_frame_sample,
     }
 
 
