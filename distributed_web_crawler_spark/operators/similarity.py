@@ -110,16 +110,39 @@ def ann_topk(
     return cosine_topk(bucketed.filter(F.col("bucket").isin(probe)).drop("bucket"), query_vec, k)
 
 
-def band_key(e: Column, dim: int, band: int, band_planes: int) -> Column:
-    """Sign-LSH key of one BAND: bit j = sign of the dot with hyperplane
-    band*band_planes + j. Dots are rounded to 6 dp before the sign so both
-    engines (different float summation order) bucket identically."""
-    bits = None
-    for j in range(band_planes):
-        h = F.array(*[F.lit(x) for x in hyperplane(dim, band * band_planes + j)])
-        bit = F.when(F.round(_dot(e, h), 6) > 0, F.lit(1 << j)).otherwise(F.lit(0))
-        bits = bit if bits is None else bits + bit
-    return bits.cast("int")
+def band_keys(embeddings: DataFrame, dim: int, n_bands: int, band_planes: int) -> DataFrame:
+    """(vec_id, band, key) rows — key = sign bits of the band's hyperplane
+    dots, rounded to 6 dp before the sign so every engine (whatever its
+    float summation order) buckets identically. ONE Arrow-batched numpy
+    matmul against the (n_bands·band_planes, dim) plane matrix: the
+    expression-tree version (24 zip_with/aggregate dots over inlined
+    64-double literals) cost seconds of Catalyst codegen per plan — more
+    than the actual data work at any scale, and pure overhead at this one."""
+    n_planes = n_bands * band_planes
+
+    def bk(batches):
+        import numpy as np
+        import pandas as pd
+
+        pm = np.array([hyperplane(dim, p) for p in range(n_planes)]).T  # (dim, P)
+        weights = 1 << np.arange(band_planes, dtype=np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            E = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+            bits = (np.round(E @ pm, 6) > 0).astype(np.int64)  # (n, P)
+            keys = bits.reshape(len(E), n_bands, band_planes) @ weights  # (n, B)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), n_bands),
+                    "band": np.tile(np.arange(n_bands, dtype=np.int32), len(E)),
+                    "key": keys.reshape(-1).astype(np.int32),
+                }
+            )
+
+    return embeddings.select("vec_id", "embedding").mapInPandas(
+        bk, schema="vec_id long, band int, key int"
+    )
 
 
 def embedding_dedup_pairs(
@@ -130,9 +153,9 @@ def embedding_dedup_pairs(
     band_planes: int = 6,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs, BANDED sign-LSH (MinHash-LSH style):
-    each vector gets n_bands keys of band_planes sign bits each; candidates
-    are pairs sharing ANY band key (union of per-band equi-joins from one
-    explode), deduped, then exact-cosine verified ≥ threshold.
+    each vector gets n_bands keys of band_planes sign bits each (one
+    vectorized pandas pass, see band_keys); candidates are pairs sharing
+    ANY band key, deduped, then exact-cosine verified ≥ threshold.
 
     Scale shape: banding bounds the compare set twice over — a band bucket
     holds ≈ N/2^band_planes vectors, and a true near-dup pair collides with
@@ -144,12 +167,8 @@ def embedding_dedup_pairs(
     e = embeddings.select(
         "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("e")
     )
-    structs = [
-        F.struct(F.lit(b).alias("band"), band_key(F.col("e"), dim, b, band_planes).alias("key"))
-        for b in range(n_bands)
-    ]
-    bk = e.select("vec_id", F.explode(F.array(*structs)).alias("bk")).select(
-        "vec_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    bk = band_keys(
+        embeddings.select("vec_id", "embedding"), dim, n_bands, band_planes
     )
     cand = (
         bk.alias("a")
