@@ -28,19 +28,48 @@ def _norm(a: Column) -> Column:
     return F.sqrt(_dot(a, a))
 
 
+def cosine_scores(embeddings: DataFrame, query_vec: Sequence[float]) -> DataFrame:
+    """(vec_id, cos) for every vector — ONE Arrow-batched numpy matvec per
+    batch. This is the embedding-math scale path: Spark's higher-order
+    functions (zip_with/aggregate) never enter whole-stage codegen and
+    evaluate interpreted per element, and an inlined 64-double query
+    literal re-costs Catalyst codegen on every fresh plan; a BLAS matvec
+    does the same dots orders of magnitude faster at any input size."""
+    import numpy as np
+
+    q = np.asarray([float(x) for x in query_vec], dtype=np.float64)
+    qn = float(np.sqrt(q @ q))
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            E = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+            cos = (E @ q) / (np.sqrt((E * E).sum(axis=1)) * qn)
+            yield pd.DataFrame({"vec_id": pdf["vec_id"], "cos": cos})
+
+    return embeddings.select("vec_id", "embedding").mapInPandas(
+        score, schema="vec_id long, cos double"
+    )
+
+
 def cosine_topk(embeddings: DataFrame, query_vec: Sequence[float], k: int = 10) -> DataFrame:
     """Exact brute-force top-k by cosine to the query vector.
     Output: (rank int, vec_id, sim_bucket) — rank is the robust compare key;
-    sim is bucketed to 2 decimals so float-association noise cannot flip it."""
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
-    cos = _dot(F.col("embedding"), q) / (_norm(F.col("embedding")) * _norm(q))
-    scored = embeddings.select("vec_id", cos.alias("cos"))
+    sim is bucketed to 2 decimals so float-association noise cannot flip it.
+    The sort key is cos ROUNDED TO 6 DP (ties broken by vec_id): engines
+    summing in different orders (BLAS pairwise vs sequential SQL) agree on
+    the rounded value, so ranks stay bit-comparable across engines."""
+    scored = cosine_scores(embeddings, query_vec)
+    key = F.round(F.col("cos"), 6)
     # distributed top-k: orderBy().limit(k) compiles to TakeOrderedAndProject
     # (per-partition heaps + a k-row driver merge) — a global Window here
     # would drag the ENTIRE scored table through one partition to rank it.
     # rank attaches after the limit, when only k rows remain.
-    top = scored.orderBy(F.col("cos").desc(), F.col("vec_id").asc()).limit(k)
-    w = Window.orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    top = scored.orderBy(key.desc(), F.col("vec_id").asc()).limit(k)
+    w = Window.orderBy(F.round(F.col("cos"), 6).desc(), F.col("vec_id").asc())
     return top.select(
         F.row_number().over(w).alias("rank"), "vec_id", F.round("cos", 2).alias("sim_bucket")
     )
@@ -105,9 +134,34 @@ def ann_topk(
     a near neighbor is missed only if it differs from the query on MORE
     than n_flip plane signs."""
     qb = query_bucket(query_vec, dim, n_planes)
-    probe = [qb ^ m for m in probe_masks(n_planes, n_flip)]
-    bucketed = lsh_bucket(embeddings, dim, n_planes)
-    return cosine_topk(bucketed.filter(F.col("bucket").isin(probe)).drop("bucket"), query_vec, k)
+    probe = frozenset(qb ^ m for m in probe_masks(n_planes, n_flip))
+    survivors = _bucket_restrict(embeddings, dim, n_planes, probe)
+    return cosine_topk(survivors, query_vec, k)
+
+
+def _bucket_restrict(embeddings: DataFrame, dim: int, n_planes: int, probe) -> DataFrame:
+    """Rows whose sign-LSH bucket is in `probe`, computed as one numpy
+    sign-matmul per Arrow batch with the embedding passed through for the
+    downstream exact scorer. At 100 TB the bucket is PRECOMPUTED as the
+    vector table's partition key (partition pruning replaces this map);
+    the fixture tables are unpartitioned, so the query assigns inline —
+    either way only probe-bucket rows reach the scoring stage."""
+    import numpy as np
+
+    pm = np.array([hyperplane(dim, p) for p in range(n_planes)]).T  # (dim, P)
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+    schema = embeddings.select("vec_id", "embedding").schema
+
+    def filt(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            E = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+            buckets = ((E @ pm) > 0).astype(np.int64) @ weights
+            keep = np.fromiter((int(b) in probe for b in buckets), bool, len(buckets))
+            yield pdf[keep]
+
+    return embeddings.select("vec_id", "embedding").mapInPandas(filt, schema=schema)
 
 
 def band_keys(embeddings: DataFrame, dim: int, n_bands: int, band_planes: int) -> DataFrame:
@@ -246,10 +300,27 @@ def ivf_topk(
     """IVF approximate top-k: exact cosine rank restricted to the query's
     n_probe nearest inverted lists — the second ANN scale path next to
     sign-LSH (ann_topk). Scan cost ≈ n_probe/n_centroids of brute force;
-    recall is tuned by n_probe."""
-    probe = ivf_probe_cells(query_vec, dim, n_centroids, n_probe)
-    assigned = ivf_assign(embeddings, dim, n_centroids)
-    return cosine_topk(assigned.filter(F.col("cell").isin(probe)).drop("cell"), query_vec, k)
+    recall is tuned by n_probe. Cell assignment runs as one numpy
+    argmax-matmul per Arrow batch (see _bucket_restrict for why inline
+    assignment here vs a precomputed partition key at 100 TB)."""
+    import numpy as np
+
+    probe = frozenset(ivf_probe_cells(query_vec, dim, n_centroids, n_probe))
+    cm = np.array(ivf_centroids(dim, n_centroids)).T  # (dim, C)
+    schema = embeddings.select("vec_id", "embedding").schema
+
+    def filt(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            E = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+            dots = np.round(E @ cm, 6)  # 6-dp rounding: argmax parity across engines
+            cells = dots.argmax(axis=1)
+            keep = np.fromiter((int(c) in probe for c in cells), bool, len(cells))
+            yield pdf[keep]
+
+    survivors = embeddings.select("vec_id", "embedding").mapInPandas(filt, schema=schema)
+    return cosine_topk(survivors, query_vec, k)
 
 
 def label_centroid_norms(embeddings: DataFrame) -> DataFrame:

@@ -501,7 +501,7 @@ WITH scored AS (
                                 (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) AS cos
   FROM embeddings
 ), ranked AS (
-  SELECT CAST(row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS INT) AS rank, vec_id, round(cos, 2) AS sim_bucket
+  SELECT CAST(row_number() OVER (ORDER BY round(cos, 6) DESC, vec_id ASC) AS INT) AS rank, vec_id, round(cos, 2) AS sim_bucket
   FROM scored
 )
 SELECT rank, vec_id, sim_bucket FROM ranked WHERE rank <= 10""",
@@ -549,7 +549,7 @@ scored AS (
   SELECT vec_id, list_cosine_similarity(e, (SELECT qe FROM q)) AS cos
   FROM b WHERE xor(bucket, (SELECT qb FROM q)) IN {_probe_masks_sql()}
 ), ranked AS (
-  SELECT CAST(row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS INT) AS rank, vec_id, round(cos, 2) AS sim_bucket
+  SELECT CAST(row_number() OVER (ORDER BY round(cos, 6) DESC, vec_id ASC) AS INT) AS rank, vec_id, round(cos, 2) AS sim_bucket
   FROM scored
 )
 SELECT rank, vec_id, sim_bucket FROM ranked WHERE rank <= 10"""
@@ -587,7 +587,7 @@ scored AS (
   FROM cells c JOIN qcells ON c.cell = qcells.cell
 ),
 ranked AS (
-  SELECT CAST(row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS INT) AS rank,
+  SELECT CAST(row_number() OVER (ORDER BY round(cos, 6) DESC, vec_id ASC) AS INT) AS rank,
          vec_id, round(cos, 2) AS sim_bucket
   FROM scored
 )
