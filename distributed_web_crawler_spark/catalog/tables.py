@@ -79,8 +79,15 @@ class JobStateStore:
         return os.path.join(self.dir, "seen_compact")
 
     def seen_compact_staging(self, upto: int) -> str:
-        """Target dir for a compaction covering rounds 0..upto."""
-        return os.path.join(self.seen_compact_dir(), f"c{upto:05d}")
+        """Target dir for a compaction covering rounds 0..upto. UNIQUE per
+        attempt: two compactors racing at the same round (zombie master vs
+        timeout-steal winner) must never share a staging dir — with a
+        deterministic name the loser would rmtree the dir the winner just
+        flipped the live pointer to. Losers' dirs become orphans that
+        vacuum sweeps once aged."""
+        import uuid
+
+        return os.path.join(self.seen_compact_dir(), f"c{upto:05d}_{uuid.uuid4().hex[:12]}")
 
     def bloom_blob_path(self, r: int, bucket: int) -> str:
         return os.path.join(self.round_dir(r), "blooms", f"bucket_{bucket:05d}.bin")
@@ -178,9 +185,12 @@ class JobStateStore:
                         stats["stale_blooms"] += 1
             # deferred sets are laid out as deferred/due=<s>/... — one root
             # per scheduled sub-round; sweep each slice the manifest no
-            # longer references (it was admitted), then the empty root
+            # longer references (it was admitted), then the empty root.
+            # A root that is ITSELF referenced (a store from the pre-due
+            # whole-root layout) is live in its entirety — never sweep its
+            # seen_bucket=* children out from under the manifest.
             def_path = self.deferred_path(r)
-            if os.path.isdir(def_path):
+            if os.path.isdir(def_path) and def_path not in live_paths:
                 for child in os.listdir(def_path):
                     p = os.path.join(def_path, child)
                     if p not in live_paths:

@@ -138,7 +138,10 @@ def audio_features(clips: DataFrame) -> DataFrame:
                         "peak": float(np.abs(x).max()),
                     }
                 )
-            yield pd.DataFrame(rows)
+            yield pd.DataFrame(
+                rows,
+                columns=["clip_id", "duration_s", "sample_rate", "n_channels", "rms", "peak"],
+            )
 
     return clips.select("clip_id", "bytes").mapInPandas(af, schema=AUDIO_FEATURES_SCHEMA)
 
@@ -172,11 +175,27 @@ def sample_video_frames(videos: DataFrame, every_n: int = 30) -> DataFrame:
                             )
                 else:
                     try:  # pragma: no cover - PyAV absent here
-                        import av  # noqa: F401
+                        import io
+
+                        import av
                     except ImportError:
                         raise NotImplementedError(
                             "real container formats need PyAV/ffmpeg (not "
                             "installed); FVID containers decode natively"
+                        )
+                    with av.open(io.BytesIO(data)) as container:  # pragma: no cover
+                        frames = [
+                            f.to_ndarray(format="rgb24")
+                            for f in container.decode(video=0)
+                        ]
+                    for k in range(0, len(frames), every_n):  # pragma: no cover
+                        rows.append(
+                            {
+                                "video_id": vid,
+                                "frame_idx": k,
+                                "n_frames": len(frames),
+                                "bytes": C.encode_image(frames[k], "png"),
+                            }
                         )
             yield pd.DataFrame(rows, columns=["video_id", "frame_idx", "n_frames", "bytes"])
 

@@ -36,7 +36,7 @@ def budget_col(host_col, policy: PolitenessPolicy):
     return F.greatest(F.lit(1), F.floor(F.lit(policy.round_duration_ms) / delay)).cast("int")
 
 
-def schedule(pending: DataFrame, policy: PolitenessPolicy) -> Tuple[DataFrame, DataFrame]:
+def schedule(pending: DataFrame, policy: PolitenessPolicy, persisted: list | None = None) -> Tuple[DataFrame, DataFrame]:
     """Compute a depth's ENTIRE politeness schedule in one window pass:
     returns (admitted_now, scheduled) where `admitted_now` is sub-round 0's
     slice (rank ≤ budget per host) and `scheduled` carries a `due` column =
@@ -56,14 +56,17 @@ def schedule(pending: DataFrame, policy: PolitenessPolicy) -> Tuple[DataFrame, D
     ranks by partition-prefix counts — the schedule is a pure function of
     (url_hash, url) order either way.
 
-    Callers should persist the shared `ranked` ancestor implicitly by
-    persisting both returned frames or consuming them in one pass; the
-    engine persists `admitted_now` and writes `scheduled` in the same
-    round."""
+    Pass `persisted` (a list) to persist the shared `ranked` ancestor —
+    without it, consuming `admitted_now` and `scheduled` as separate
+    actions re-runs the host-window shuffle twice; the engine persists it
+    and unpersists at end of round."""
     w = Window.partitionBy("host").orderBy(F.col("url_hash").asc(), F.col("url").asc())
     ranked = pending.withColumn("_rn", F.row_number().over(w)).withColumn(
         "_budget", budget_col(F.col("host"), policy)
     )
+    if persisted is not None:
+        ranked = ranked.persist()
+        persisted.append(ranked)
     admitted = ranked.filter(F.col("_rn") <= F.col("_budget")).drop("_rn", "_budget")
     scheduled = (
         ranked.filter(F.col("_rn") > F.col("_budget"))

@@ -2,11 +2,16 @@
 brute-force cosine top-k as the exact baseline, and an LSH-bucketed
 (random-hyperplane SimHash) variant as the scale path.
 
-Dot products run through built-in higher-order functions
-(`zip_with` + `aggregate`) — JVM-side, no Python. At 100 TB the
-brute-force path is one broadcast of the query vector and a single scan;
-the LSH path buckets vectors by deterministic hyperplane signs so a query
-probes only its bucket (plus Hamming-adjacent buckets for recall).
+Bulk embedding math (scoring, bucket/cell assignment, band keys) runs in
+Arrow-batched numpy matmuls — Spark's higher-order functions evaluate
+interpreted per element and never enter whole-stage codegen, so BLAS
+batches beat them at every input size; single-dot verify expressions stay
+JVM-side (`zip_with` + `aggregate`). Every pre-sign/pre-argmax dot is
+rounded to 6 dp so engines with different float summation orders bucket,
+assign, and rank identically. At 100 TB the brute-force path is one
+broadcast of the query vector and a single scan; the LSH path buckets
+vectors by deterministic hyperplane signs so a query probes only its
+bucket (plus Hamming-adjacent buckets for recall).
 """
 
 from __future__ import annotations
@@ -89,11 +94,13 @@ def hyperplane(dim: int, plane: int) -> List[float]:
 
 
 def lsh_bucket(embeddings: DataFrame, dim: int, n_planes: int = 8) -> DataFrame:
-    """Sign-LSH bucket id per vector: bit p = (v · hyperplane_p) > 0."""
+    """Sign-LSH bucket id per vector: bit p = round(v · hyperplane_p, 6) > 0
+    (rounded pre-sign so every engine buckets identically regardless of its
+    float summation order)."""
     bucket = None
     for p in range(n_planes):
         h = F.array(*[F.lit(x) for x in hyperplane(dim, p)])
-        bit = F.when(_dot(F.col("embedding"), h) > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bit = F.when(F.round(_dot(F.col("embedding"), h), 6) > 0, F.lit(1 << p)).otherwise(F.lit(0))
         bucket = bit if bucket is None else bucket + bit
     return embeddings.withColumn("bucket", bucket.cast("int"))
 
@@ -114,7 +121,9 @@ def query_bucket(query_vec: Sequence[float], dim: int, n_planes: int) -> int:
     qb = 0
     for p in range(n_planes):
         hp = hyperplane(dim, p)
-        if sum(float(a) * b for a, b in zip(query_vec, hp)) > 0:
+        # 6-dp rounding before the sign, like every bucket path: engines
+        # that sum in different orders must agree on the bucket bit
+        if round(sum(float(a) * b for a, b in zip(query_vec, hp)), 6) > 0:
             qb |= 1 << p
     return qb
 
@@ -157,7 +166,7 @@ def _bucket_restrict(embeddings: DataFrame, dim: int, n_planes: int, probe) -> D
             if not len(pdf):
                 continue
             E = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
-            buckets = ((E @ pm) > 0).astype(np.int64) @ weights
+            buckets = (np.round(E @ pm, 6) > 0).astype(np.int64) @ weights
             keep = np.fromiter((int(b) in probe for b in buckets), bool, len(buckets))
             yield pdf[keep]
 

@@ -329,16 +329,16 @@ class FrontierEngine:
         crash at any step leaves a consistent store. Deltas are disjoint by
         construction (a URL enters seen in exactly one round), so the merge
         is a plain union."""
-        import shutil
-
         store = self.store(job_id)
         last = store.last_committed()
         paths = store.seen_paths()
         if last is None or len(paths) <= 1:
             return {"compacted": False, "n_components": len(paths)}
+        # staging name is unique per attempt (see seen_compact_staging):
+        # a concurrent compactor can never collide with — or delete — the
+        # dir this attempt is about to flip the pointer to; crashed
+        # attempts are swept by vacuum once aged
         staging = store.seen_compact_staging(last)
-        if os.path.isdir(staging):  # crashed earlier attempt at this round
-            shutil.rmtree(staging)
         df = self._seen_df(store)
         # one file per bucket (repartition BY the partition column before
         # partitionBy, else every input partition writes a file per bucket)
@@ -449,16 +449,22 @@ class FrontierEngine:
                 persisted = [admitted.persist()]
                 n_admitted = n_pending_d
             else:
-                admitted, deferred_sched = schedule(pending, self.cfg.politeness)
-                persisted = [admitted.persist()]
+                # persisted `ranked` ancestor: the host-window shuffle runs
+                # ONCE, shared by the admitted count and the deferred write
+                persisted = []
+                admitted, deferred_sched = schedule(pending, self.cfg.politeness, persisted)
+                persisted.append(admitted.persist())
                 n_admitted = admitted.count()
                 n_deferred = n_pending_d - n_admitted
         else:
             consumed = [e for e in entries_d if len(e) > 3 and e[3] == sub]
             if not consumed:
-                raise AssertionError(
+                raise ValueError(
                     f"no frontier slice due at depth {d} sub-round {sub}: "
-                    f"schedule slices must be contiguous ({entries_d})"
+                    f"schedule slices must be contiguous ({entries_d}). A "
+                    "3-element entry here means the store was committed by "
+                    "the pre-due-slice layout — rerun the job in a fresh "
+                    "warehouse (old stores are not migrated)."
                 )
             admitted = self._read_components(
                 [os.path.join(store.dir, e[0]) for e in consumed]

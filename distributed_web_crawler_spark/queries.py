@@ -377,7 +377,7 @@ def _bucket_sql(vec_expr: str) -> str:
     terms = []
     for p in range(N_PLANES):
         lit = "[" + ", ".join(str(x) for x in hyperplane(EMB_DIM, p)) + "]"
-        terms.append(f"(CASE WHEN list_dot_product({vec_expr}, {lit}) > 0 THEN {1 << p} ELSE 0 END)")
+        terms.append(f"(CASE WHEN round(list_dot_product({vec_expr}, {lit}), 6) > 0 THEN {1 << p} ELSE 0 END)")
     return "(" + " + ".join(terms) + ")"
 
 
