@@ -199,18 +199,23 @@ class JobStateStore:
                 if not os.listdir(def_path):
                     os.rmdir(def_path)
         sc = self.read_seen_compact()
+        # superseded/orphaned compaction generations: anything under
+        # seen_compact/ that is not the live pointer's target — including
+        # staging from a compactor that crashed before ANY pointer existed
+        # (sc is None) — age-guarded against a concurrent compactor's
+        # in-flight staging
+        live_compact = os.path.join(self.dir, sc["path"]) if sc is not None else None
+        if os.path.isdir(self.seen_compact_dir()):
+            for name in os.listdir(self.seen_compact_dir()):
+                p = os.path.join(self.seen_compact_dir(), name)
+                try:
+                    fresh = time.time() - os.path.getmtime(p) < staging_age_s
+                except FileNotFoundError:
+                    continue
+                if p != live_compact and not fresh:
+                    shutil.rmtree(p, ignore_errors=True)
+                    stats["stale_compacts"] += 1
         if sc is not None:
-            live_compact = os.path.join(self.dir, sc["path"])
-            if os.path.isdir(self.seen_compact_dir()):
-                for name in os.listdir(self.seen_compact_dir()):
-                    p = os.path.join(self.seen_compact_dir(), name)
-                    try:
-                        fresh = time.time() - os.path.getmtime(p) < staging_age_s
-                    except FileNotFoundError:
-                        continue
-                    if p != live_compact and not fresh:
-                        shutil.rmtree(p, ignore_errors=True)
-                        stats["stale_compacts"] += 1
             for r in self.committed_rounds():
                 np_ = self.new_path(r)
                 if r <= sc["upto"] and os.path.isdir(np_) and np_ not in live_paths:
