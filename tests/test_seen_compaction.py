@@ -83,16 +83,26 @@ def test_auto_compaction_bounds_components_over_many_rounds(spark, corpus_1k, tm
     # 10th page), whose budget of 1 forces ≥15 sub-rounds at depth 0 alone
     seeds = [C.url_of(i, spec) for i in range(150)]
     max_components = []
-    eng.run_job(
-        "c3",
-        seeds,
-        2,
-        on_round=lambda s: max_components.append(len(eng.store("c3").seen_paths())),
-    )
+    walls = []
+
+    def _obs(s):
+        max_components.append(len(eng.store("c3").seen_paths()))
+        if s.depth == 0 and s.sub_round >= 1:  # extraction rounds of the long drain
+            walls.append(s.wall_ms)
+
+    eng.run_job("c3", seeds, 2, on_round=_obs)
     n_rounds = len(max_components)
     assert n_rounds >= 15  # the schedule actually exercised many sub-rounds
     # bound: every + 1 transient components right before a compaction kicks in
     assert max(max_components) <= 5, max_components
+    # per-round wall time stays FLAT as the crawl ages: the old unpruned
+    # re-check + uncompacted deltas scanned O(rounds) seen roots per round,
+    # growing every round; 3x headroom absorbs sandbox noise while still
+    # catching any O(history) regression over this many rounds
+    assert len(walls) >= 12
+    med = lambda xs: sorted(xs)[len(xs) // 2]  # noqa: E731
+    first, last = med(walls[1:6]), med(walls[-5:])
+    assert last <= 3 * first, (first, last, walls)
     # politeness + compaction change the SCHEDULE, never the result: the
     # final per-depth payload equals an unthrottled, uncompacted run's
     eng2, _, _ = _engine(spark, corpus_1k, tmp_path / "b", compact_seen_every=None)
