@@ -199,3 +199,56 @@ def simhash16(docs: DataFrame) -> DataFrame:
         term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
         bits = term if bits is None else bits + term
     return agg.select("doc_id", bits.cast("long").alias("simhash"))
+
+
+WINNOW_K = 8  # k-gram length (chars, normalized text)
+WINNOW_W = 16  # winnowing window (k-gram hashes per window)
+
+
+def winnow_fingerprints(docs: DataFrame, k: int = WINNOW_K, w: int = WINNOW_W) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    local fingerprinting algorithm — rolling k-gram hashes, one selected
+    minimum per window): output is the DISTINCT set of selected hashes per
+    doc, (doc_id, fp_hash) exploded. Guarantees: any shared substring of
+    length ≥ w+k-1 yields at least one shared fingerprint, and exact
+    duplicates select identical sets — the rolling-hash fingerprint family
+    for near-dup detection at document granularity.
+
+    Hashes are the portable md5-60 construction (functions/portable_hash),
+    so the DuckDB oracle reproduces the selection bit-exactly; the window
+    minima are computed with one numpy sliding-window pass per doc inside
+    an Arrow batch (k-gram hashing dominates; a per-window SQL expression
+    tree would be O(n·w) interpreted work per row)."""
+
+    def win(batches):
+        import hashlib
+        import re
+
+        import numpy as np
+        import pandas as pd
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        for pdf in batches:
+            out_doc, out_fp = [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                tn = re.sub(r"[^a-z0-9]", "", str(text).lower())
+                n = len(tn) - k + 1
+                if n <= 0:
+                    continue
+                hs = np.fromiter(
+                    (
+                        int(hashlib.md5(tn[i : i + k].encode()).hexdigest()[:15], 16)
+                        for i in range(n)
+                    ),
+                    dtype=np.int64,
+                    count=n,
+                )
+                if n <= w:
+                    sel = [int(hs.min())]
+                else:
+                    sel = sorted(set(sliding_window_view(hs, w).min(axis=1).tolist()))
+                out_doc += [did] * len(sel)
+                out_fp += sel
+            yield pd.DataFrame({"doc_id": out_doc, "fp_hash": out_fp})
+
+    return docs.select("doc_id", "text").mapInPandas(win, schema="doc_id long, fp_hash long")

@@ -173,6 +173,10 @@ def q_simhash(spark, sf_dir):
     return D.simhash16(_t(spark, sf_dir, "documents"))
 
 
+def q_winnow_fingerprint(spark, sf_dir):
+    return D.winnow_fingerprints(_t(spark, sf_dir, "documents"))
+
+
 def _query_vec(spark, sf_dir):
     row = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") == 0).select("embedding").collect()[0]
     return list(row["embedding"])
@@ -684,6 +688,29 @@ def _video_oracle_sql() -> str:
 ORACLE_SQL["audio_features"] = _audio_oracle_sql()
 ORACLE_SQL["video_frame_sample"] = _video_oracle_sql()
 
+# winnowing: same k-gram md5-60 hashes, window minima via a frame'd window
+# function; i <= greatest(n-w+1, 1) keeps exactly the complete windows,
+# degenerating to the single all-grams window when a doc has < w grams
+# (matching the operator's n <= w branch)
+ORACLE_SQL["winnow_fingerprint"] = f"""
+WITH t AS (
+  SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS tn FROM documents
+),
+grams AS (
+  SELECT doc_id, i, {hash60_sql(f'substr(tn, CAST(i AS INT), {D.WINNOW_K})')} AS h
+  FROM t, UNNEST(range(1, length(tn) - {D.WINNOW_K} + 2)) u(i)
+  WHERE length(tn) >= {D.WINNOW_K}
+),
+wins AS (
+  SELECT doc_id, i,
+         min(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND {D.WINNOW_W - 1} FOLLOWING) AS mn,
+         count(*) OVER (PARTITION BY doc_id) AS n
+  FROM grams
+)
+SELECT DISTINCT doc_id, mn AS fp_hash FROM wins
+WHERE i <= greatest(n - {D.WINNOW_W} + 1, 1)"""
+
 
 def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -705,6 +732,7 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "jaccard_verified_pairs": q_jaccard_verified_pairs,
         "simhash": q_simhash,
+        "winnow_fingerprint": q_winnow_fingerprint,
         "embedding_topk": q_embedding_topk,
         "label_centroids": q_label_centroids,
         "ann_topk": q_ann_topk,

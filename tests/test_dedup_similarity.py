@@ -124,3 +124,49 @@ def test_multiprobe_ann_recall_grows_with_flips(spark):
     assert rec[3] > rec[0], rec
     # (c) full flip radius == brute force
     assert got[8] == brute and rec[8] == 1.0
+
+
+def test_winnow_fingerprint_properties(spark):
+    """MOSS winnowing guarantees, checked on planted docs: exact duplicates
+    select identical fingerprint sets; two docs sharing a substring of
+    length >= w+k-1 share at least one fingerprint; disjoint-alphabet docs
+    share none; selected hashes are a subset of the doc's k-gram hashes."""
+    import hashlib
+
+    import pandas as pd
+    from distributed_web_crawler_spark.operators.dedup import (
+        WINNOW_K,
+        WINNOW_W,
+        winnow_fingerprints,
+    )
+
+    shared = "thequickbrownfoxjumpsoverthelazydogandkeepsrunningfar"  # > w+k-1 chars
+    assert len(shared) >= WINNOW_W + WINNOW_K - 1
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "aaa " + shared + " zzz end of first document padding words",
+                "completely different prefix then " + shared + " different suffix",
+                "aaa " + shared + " zzz end of first document padding words",  # dup of 1
+                "0123456789" * 12,  # disjoint alphabet vs the others' tail
+            ],
+        }
+    )
+    fps = winnow_fingerprints(spark.createDataFrame(docs)).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp_hash"])
+    assert by_doc[1] == by_doc[3]  # exact dup -> identical set
+    assert by_doc[1] & by_doc[2]  # shared >= w+k-1 substring -> shared fp
+    assert not (by_doc[1] & by_doc[4])  # nothing in common
+
+    # subset-of-gram-hashes for doc 1
+    import re
+
+    tn = re.sub(r"[^a-z0-9]", "", docs["text"][0].lower())
+    grams = {
+        int(hashlib.md5(tn[i : i + WINNOW_K].encode()).hexdigest()[:15], 16)
+        for i in range(len(tn) - WINNOW_K + 1)
+    }
+    assert by_doc[1] <= grams
