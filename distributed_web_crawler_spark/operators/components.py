@@ -1,0 +1,92 @@
+"""Connected components over an undirected edge DataFrame — the keeper
+election step of a fuzzy-dedup pipeline (near-dup PAIRS are not enough: a
+chain a~b~c must collapse to ONE keeper even when a~c was never compared).
+
+Algorithm: min-label propagation with POINTER DOUBLING (hash-to-min
+style) — every node starts labeled with itself; each round a node takes
+the minimum label among itself and its neighbors, then additionally
+adopts its label's label (label[label]), which halves the remaining path
+to the component minimum. Convergence is O(log diameter) rounds instead
+of O(diameter) — a 30-node path converges in ~7 rounds. Each round is
+two shuffles (edges⋈labels min-agg, then the doubling self-join), the
+same per-round shape as the BFS engine; lineage is truncated with
+localCheckpoint like operators/bfs.py. At 10^10 edges the same loop
+holds (this is the MapReduce-CC family of Kiveris et al., "Connected
+Components in MapReduce and Beyond", SoCC'14; the large-star/small-star
+variant additionally shrinks the EDGE set per round and slots in behind
+the identical label fixpoint if edge-volume ever binds).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def connected_components(
+    edges: DataFrame, src: str = "a_id", dst: str = "b_id", max_iters: int = 25
+) -> DataFrame:
+    """(node long, component long) for every node appearing in `edges`;
+    component = min node id reachable (a canonical, deterministic cluster
+    id). Undirected: each input row is used in both directions."""
+    fwd = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    sym = fwd.unionByName(fwd.select(F.col("v").alias("u"), F.col("u").alias("v"))).persist()
+    labels = (
+        sym.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .persist()
+    )
+    for it in range(max_iters):
+        # candidate labels: own + the label of every neighbor
+        from_neighbors = (
+            sym.join(labels.withColumnRenamed("node", "v"), "v")
+            .select(F.col("u").alias("node"), "component")
+        )
+        propagated = (
+            labels.unionByName(from_neighbors)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+        )
+        # pointer doubling: adopt label[label] — every label value is some
+        # node's id, so the self-join resolves it; left+coalesce guards the
+        # already-minimal rows
+        lbl_of_lbl = propagated.select(
+            F.col("node").alias("component"), F.col("component").alias("c2")
+        )
+        nxt = (
+            propagated.join(lbl_of_lbl, "component", "left")
+            .select(
+                "node",
+                F.least(F.col("component"), F.coalesce(F.col("c2"), F.col("component"))).alias(
+                    "component"
+                ),
+            )
+            .localCheckpoint()  # truncate the growing iteration lineage
+        )
+        changed = (
+            nxt.join(labels.withColumnRenamed("component", "old"), "node")
+            .filter(F.col("component") != F.col("old"))
+            .isEmpty()
+        )
+        labels.unpersist()
+        labels = nxt.persist()
+        if changed:
+            break
+    else:
+        raise RuntimeError(f"connected_components did not converge in {max_iters} rounds")
+    sym.unpersist()
+    return labels
+
+
+def neardup_clusters(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Every document with its near-dup cluster id: docs in no pair are
+    their own singleton cluster; the cluster keeper is min(doc_id) in the
+    component. Output: (doc_id, cluster_id)."""
+    comp = connected_components(pairs)
+    return (
+        docs.select("doc_id")
+        .join(comp.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce(F.col("component"), F.col("doc_id")).alias("cluster_id")
+        )
+    )

@@ -177,6 +177,16 @@ def q_winnow_fingerprint(spark, sf_dir):
     return D.winnow_fingerprints(_t(spark, sf_dir, "documents"))
 
 
+def q_neardup_clusters(spark, sf_dir):
+    """Fuzzy-dedup keeper election: connected components over the
+    LSH-verified Jaccard pairs (a chain a~b~c collapses to one cluster
+    even though a~c was never compared); singletons keep themselves."""
+    from .operators.components import neardup_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    return neardup_clusters(docs, D.jaccard_verified_pairs(docs))
+
+
 def _query_vec(spark, sf_dir):
     row = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") == 0).select("embedding").collect()[0]
     return list(row["embedding"])
@@ -688,6 +698,25 @@ def _video_oracle_sql() -> str:
 ORACLE_SQL["audio_features"] = _audio_oracle_sql()
 ORACLE_SQL["video_frame_sample"] = _video_oracle_sql()
 
+# connected components as a recursive transitive closure over the SAME
+# verified-pair SQL (fine at oracle scale; the Spark side is the
+# shuffle-per-round label propagation that survives 10^10 edges)
+ORACLE_SQL["neardup_clusters"] = f"""
+WITH RECURSIVE pairs AS (
+  SELECT a_id, b_id FROM ({{jvp}})
+),
+edges AS (SELECT a_id AS u, b_id AS v FROM pairs UNION ALL SELECT b_id, a_id FROM pairs),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v
+),
+labels AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u)
+SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+FROM documents d LEFT JOIN labels l USING (doc_id)""".replace(
+    "{jvp}", ORACLE_SQL["jaccard_verified_pairs"]
+)
+
 # winnowing: same k-gram md5-60 hashes, window minima via a frame'd window
 # function; i <= greatest(n-w+1, 1) keeps exactly the complete windows,
 # degenerating to the single all-grams window when a doc has < w grams
@@ -733,6 +762,7 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_verified_pairs": q_jaccard_verified_pairs,
         "simhash": q_simhash,
         "winnow_fingerprint": q_winnow_fingerprint,
+        "neardup_clusters": q_neardup_clusters,
         "embedding_topk": q_embedding_topk,
         "label_centroids": q_label_centroids,
         "ann_topk": q_ann_topk,
