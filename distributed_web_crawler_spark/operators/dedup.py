@@ -49,15 +49,15 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
     )
 
 
-def shingles(docs: DataFrame) -> DataFrame:
-    """Distinct 3-word shingles per doc: (doc_id, s)."""
+def shingles(docs: DataFrame, n: int = SHINGLE) -> DataFrame:
+    """Distinct n-word shingles per doc: (doc_id, s)."""
     words = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
     # NB: Spark sequence(1, 0) would count DOWN — guard short docs explicitly
     sh = F.when(
-        F.size(words) >= SHINGLE,
+        F.size(words) >= n,
         F.transform(
-            F.sequence(F.lit(1), F.size(words) - (SHINGLE - 1)),
-            lambda k: F.concat_ws(" ", F.slice(words, k, SHINGLE)),
+            F.sequence(F.lit(1), F.size(words) - (n - 1)),
+            lambda k: F.concat_ws(" ", F.slice(words, k, n)),
         ),
     ).otherwise(F.array().cast("array<string>"))
     return (

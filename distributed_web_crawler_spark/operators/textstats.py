@@ -78,3 +78,64 @@ def fingerprint(docs: DataFrame) -> DataFrame:
     whitespace/punctuation-insensitive near-exact signature."""
     norm = F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9]", "")
     return docs.select("doc_id", F.md5(norm).alias("fp"))
+
+
+CONTAM_N = 5  # words per overlap shingle (13-gram tokens at prod; 5 fits fixtures)
+EVAL_MOD = 97  # deterministic "held-out benchmark" stand-in: doc_id % 97 == 0
+
+
+def contamination_report(docs: DataFrame, eval_mod: int = EVAL_MOD, n: int = CONTAM_N) -> DataFrame:
+    """Training-data decontamination: flag every TRAINING doc sharing any
+    n-word shingle with the held-out eval set (here the deterministic
+    doc_id % eval_mod == 0 subset stands in for a benchmark suite).
+    Output: (doc_id, n_hits, contaminated) for training docs only.
+
+    Scale shape: the eval shingle-hash set is benchmark-sized (MBs even
+    for large suites), so it BROADCASTS and the check is one map-side
+    semi-join over the training shingles — no shuffle of the corpus, the
+    same shape production decontamination runs at 100 TB."""
+    from .dedup import shingles
+    from ..functions.portable_hash import hash60
+
+    sh = shingles(docs, n).select("doc_id", hash60(F.col("s")).alias("g"))
+    is_eval = F.pmod(F.col("doc_id"), F.lit(eval_mod)) == 0
+    eval_grams = sh.filter(is_eval).select("g").distinct()
+    hits = (
+        sh.filter(~is_eval)
+        .join(F.broadcast(eval_grams), "g")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("g").alias("n_hits"))
+    )
+    return (
+        docs.filter(~is_eval)
+        .select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+# per-language sampling rates (percent) for the training-mix query —
+# deterministic hash sampling, reproducible on any engine/cluster/run
+SAMPLE_RATES = {"en": 60, "de": 30, "fr": 20, "es": 10}
+SAMPLE_DEFAULT = 5  # any other language
+
+
+def stratified_sample(docs: DataFrame, rates: dict | None = None, default: int = SAMPLE_DEFAULT) -> DataFrame:
+    """Deterministic per-language stratified sample: keep a doc iff
+    pmod(hash60('sample:' || doc_id), 100) < rate(lang). No RNG state —
+    the sample is a pure function of doc_id, so it is identical across
+    engines, partition counts, runs, and resumes (the property that makes
+    a training-mix reproducible); rates are literal percentages per
+    stratum. One narrow map + filter: no shuffle, no sampleBy seed."""
+    from ..functions.portable_hash import hash60
+
+    rates = SAMPLE_RATES if rates is None else rates
+    rate = F.lit(default)
+    for lang, pct in sorted(rates.items()):
+        rate = F.when(F.col("lang") == lang, F.lit(pct)).otherwise(rate)
+    bucket = F.pmod(hash60(F.concat(F.lit("sample:"), F.col("doc_id").cast("string"))), F.lit(100))
+    return docs.filter(bucket < rate).select("doc_id", "lang", bucket.cast("int").alias("sample_bucket"))

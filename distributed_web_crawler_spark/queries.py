@@ -177,6 +177,14 @@ def q_winnow_fingerprint(spark, sf_dir):
     return D.winnow_fingerprints(_t(spark, sf_dir, "documents"))
 
 
+def q_contamination_report(spark, sf_dir):
+    return T.contamination_report(_t(spark, sf_dir, "documents"))
+
+
+def q_stratified_sample(spark, sf_dir):
+    return T.stratified_sample(_t(spark, sf_dir, "documents"))
+
+
 def q_neardup_clusters(spark, sf_dir):
     """Fuzzy-dedup keeper election: connected components over the
     LSH-verified Jaccard pairs (a chain a~b~c collapses to one cluster
@@ -717,6 +725,43 @@ FROM documents d LEFT JOIN labels l USING (doc_id)""".replace(
     "{jvp}", ORACLE_SQL["jaccard_verified_pairs"]
 )
 
+def _ngram_cte(n: int) -> str:
+    """toksC/shC CTEs: distinct n-word shingles (generalizes _SHINGLES_CTE;
+    range(1, len-(n-2)) is empty for docs shorter than n words, matching
+    the Spark-side guard)."""
+    terms = " || ' ' || ".join("ws[k]" if j == 0 else f"ws[k+{j}]" for j in range(n))
+    return f"""toksC AS (SELECT doc_id, {_TOKS} AS ws FROM documents),
+shC AS (SELECT DISTINCT doc_id, {terms} AS s FROM toksC, UNNEST(range(1, len(ws) - {n - 2})) t(k))"""
+
+
+ORACLE_SQL["contamination_report"] = f"""
+WITH {_ngram_cte(T.CONTAM_N)},
+g AS (SELECT doc_id, {hash60_sql('s')} AS g FROM shC),
+eval_g AS (SELECT DISTINCT g FROM g WHERE doc_id % {T.EVAL_MOD} = 0),
+hits AS (
+  SELECT doc_id, count(DISTINCT g.g) AS n_hits
+  FROM g JOIN eval_g USING (g) WHERE doc_id % {T.EVAL_MOD} <> 0 GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits, coalesce(h.n_hits, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+WHERE d.doc_id % {T.EVAL_MOD} <> 0"""
+
+
+def _sample_case_sql() -> str:
+    whens = " ".join(f"WHEN '{lang}' THEN {pct}" for lang, pct in sorted(T.SAMPLE_RATES.items()))
+    return f"CASE lang {whens} ELSE {T.SAMPLE_DEFAULT} END"
+
+
+ORACLE_SQL["stratified_sample"] = f"""
+WITH b AS (
+  SELECT doc_id, lang,
+         CAST({hash60_sql("concat('sample:', CAST(doc_id AS VARCHAR))")} % 100 AS INT) AS sample_bucket
+  FROM documents
+)
+SELECT doc_id, lang, sample_bucket FROM b
+WHERE sample_bucket < {_sample_case_sql()}"""
+
+
 # winnowing: same k-gram md5-60 hashes, window minima via a frame'd window
 # function; i <= greatest(n-w+1, 1) keeps exactly the complete windows,
 # degenerating to the single all-grams window when a doc has < w grams
@@ -763,6 +808,8 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "winnow_fingerprint": q_winnow_fingerprint,
         "neardup_clusters": q_neardup_clusters,
+        "contamination_report": q_contamination_report,
+        "stratified_sample": q_stratified_sample,
         "embedding_topk": q_embedding_topk,
         "label_centroids": q_label_centroids,
         "ann_topk": q_ann_topk,

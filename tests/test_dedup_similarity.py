@@ -170,3 +170,50 @@ def test_winnow_fingerprint_properties(spark):
         for i in range(len(tn) - WINNOW_K + 1)
     }
     assert by_doc[1] <= grams
+
+
+def test_contamination_flags_planted_overlap(spark):
+    """A training doc that copies an eval doc's text must be flagged; a
+    disjoint-vocabulary doc must not."""
+    import pandas as pd
+
+    from distributed_web_crawler_spark.operators.textstats import contamination_report
+
+    eval_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = pd.DataFrame(
+        {
+            "doc_id": [97, 1, 2],  # 97 % 97 == 0 -> the eval doc
+            "text": [
+                eval_text,
+                "prefix words then " + eval_text + " and a suffix",  # overlaps
+                "totally different vocabulary nothing shared at all here now",
+            ],
+        }
+    )
+    got = {r["doc_id"]: r for r in contamination_report(spark.createDataFrame(docs)).collect()}
+    assert set(got) == {1, 2}  # eval doc excluded from the report
+    assert got[1]["contaminated"] and got[1]["n_hits"] >= 5
+    assert not got[2]["contaminated"] and got[2]["n_hits"] == 0
+
+
+def test_stratified_sample_deterministic_and_stratified(spark):
+    """The sample is a pure function of doc_id: identical at any partition
+    count, and each stratum's keep-rate tracks its configured percentage."""
+    from distributed_web_crawler_spark.operators.textstats import (
+        SAMPLE_RATES,
+        stratified_sample,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    a = sorted(r["doc_id"] for r in stratified_sample(docs.repartition(1)).collect())
+    b = sorted(r["doc_id"] for r in stratified_sample(docs.repartition(13)).collect())
+    assert a == b and len(a) > 0
+    totals = {r["lang"]: r["n"] for r in docs.groupBy("lang").count().withColumnRenamed("count", "n").collect()}
+    kept = {}
+    for r in stratified_sample(docs).collect():
+        kept[r["lang"]] = kept.get(r["lang"], 0) + 1
+        assert r["sample_bucket"] < SAMPLE_RATES.get(r["lang"], 5)
+    for lang, pct in SAMPLE_RATES.items():
+        if totals.get(lang, 0) >= 50:  # enough mass for the rate to bind
+            frac = kept.get(lang, 0) / totals[lang]
+            assert abs(frac - pct / 100) < 0.15, (lang, frac, pct)
