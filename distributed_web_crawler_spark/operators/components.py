@@ -53,7 +53,11 @@ def connected_components(
         lbl_of_lbl = propagated.select(
             F.col("node").alias("component"), F.col("component").alias("c2")
         )
-        nxt = (
+        # one materialization per round: the doubling join AND the previous
+        # label ride into the same localCheckpoint (truncating lineage), so
+        # the convergence check is a scan of the cached result — not an
+        # extra shuffle job per iteration
+        nxt_full = (
             propagated.join(lbl_of_lbl, "component", "left")
             .select(
                 "node",
@@ -61,15 +65,12 @@ def connected_components(
                     "component"
                 ),
             )
-            .localCheckpoint()  # truncate the growing iteration lineage
+            .join(labels.withColumnRenamed("component", "old"), "node")
+            .localCheckpoint()
         )
-        changed = (
-            nxt.join(labels.withColumnRenamed("component", "old"), "node")
-            .filter(F.col("component") != F.col("old"))
-            .isEmpty()
-        )
+        changed = nxt_full.filter(F.col("component") != F.col("old")).isEmpty()
         labels.unpersist()
-        labels = nxt.persist()
+        labels = nxt_full.drop("old")
         if changed:
             break
     else:
