@@ -139,3 +139,32 @@ def stratified_sample(docs: DataFrame, rates: dict | None = None, default: int =
         rate = F.when(F.col("lang") == lang, F.lit(pct)).otherwise(rate)
     bucket = F.pmod(hash60(F.concat(F.lit("sample:"), F.col("doc_id").cast("string"))), F.lit(100))
     return docs.filter(bucket < rate).select("doc_id", "lang", bucket.cast("int").alias("sample_bucket"))
+
+
+def repetition_stats(docs: DataFrame, n: int = 2) -> DataFrame:
+    """Gopher-style repetition filter inputs, per doc: total and distinct
+    n-gram counts, the duplicate-n-gram fraction (1 - distinct/total), and
+    the top-n-gram fraction (occurrences of the most frequent n-gram over
+    total) — the two repetition signals Rae et al. (Gopher, 2021) threshold
+    to drop looping/boilerplate documents. One explode + two aggregations,
+    all JVM-side. Docs with fewer than n tokens report zeros."""
+    words = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    grams = F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - (n - 1)),
+            lambda k: F.concat_ws(" ", F.slice(words, k, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = docs.select("doc_id", F.explode_outer(grams).alias("s"))
+    per_gram = g.groupBy("doc_id", "s").agg(F.count("s").alias("c"))
+    return per_gram.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_grams"),
+        F.count(F.col("s")).cast("long").alias("n_distinct"),
+        F.round(
+            F.when(F.sum("c") > 0, 1 - F.count(F.col("s")) / F.sum("c")).otherwise(F.lit(0.0)), 4
+        ).alias("dup_gram_frac"),
+        F.round(
+            F.when(F.sum("c") > 0, F.max("c") / F.sum("c")).otherwise(F.lit(0.0)), 4
+        ).alias("top_gram_frac"),
+    )

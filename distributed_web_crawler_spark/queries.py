@@ -177,6 +177,10 @@ def q_winnow_fingerprint(spark, sf_dir):
     return D.winnow_fingerprints(_t(spark, sf_dir, "documents"))
 
 
+def q_repetition_stats(spark, sf_dir):
+    return T.repetition_stats(_t(spark, sf_dir, "documents"))
+
+
 def q_contamination_report(spark, sf_dir):
     return T.contamination_report(_t(spark, sf_dir, "documents"))
 
@@ -734,6 +738,28 @@ def _ngram_cte(n: int) -> str:
 shC AS (SELECT DISTINCT doc_id, {terms} AS s FROM toksC, UNNEST(range(1, len(ws) - {n - 2})) t(k))"""
 
 
+ORACLE_SQL["repetition_stats"] = f"""
+WITH toksR AS (SELECT doc_id, {_TOKS} AS ws FROM documents),
+gramsR AS (
+  SELECT doc_id, ws[k] || ' ' || ws[k+1] AS s
+  FROM toksR, UNNEST(range(1, len(ws))) t(k)
+),
+per AS (SELECT doc_id, s, count(*) AS c FROM gramsR GROUP BY 1, 2),
+agg AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams, CAST(count(*) AS BIGINT) AS n_distinct,
+         CAST(max(c) AS BIGINT) AS mx
+  FROM per GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(a.n_grams, 0) AS n_grams,
+       coalesce(a.n_distinct, 0) AS n_distinct,
+       round(CASE WHEN coalesce(a.n_grams, 0) > 0
+                  THEN 1 - CAST(a.n_distinct AS DOUBLE) / a.n_grams ELSE 0 END, 4) AS dup_gram_frac,
+       round(CASE WHEN coalesce(a.n_grams, 0) > 0
+                  THEN CAST(a.mx AS DOUBLE) / a.n_grams ELSE 0 END, 4) AS top_gram_frac
+FROM documents d LEFT JOIN agg a USING (doc_id)"""
+
+
 ORACLE_SQL["contamination_report"] = f"""
 WITH {_ngram_cte(T.CONTAM_N)},
 g AS (SELECT doc_id, {hash60_sql('s')} AS g FROM shC),
@@ -808,6 +834,7 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "winnow_fingerprint": q_winnow_fingerprint,
         "neardup_clusters": q_neardup_clusters,
+        "repetition_stats": q_repetition_stats,
         "contamination_report": q_contamination_report,
         "stratified_sample": q_stratified_sample,
         "embedding_topk": q_embedding_topk,

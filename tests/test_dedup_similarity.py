@@ -217,3 +217,24 @@ def test_stratified_sample_deterministic_and_stratified(spark):
         if totals.get(lang, 0) >= 50:  # enough mass for the rate to bind
             frac = kept.get(lang, 0) / totals[lang]
             assert abs(frac - pct / 100) < 0.15, (lang, frac, pct)
+
+
+def test_repetition_stats_flags_looping_text(spark):
+    import pandas as pd
+
+    from distributed_web_crawler_spark.operators.textstats import repetition_stats
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "buy now " * 50,  # pure loop: massive 2-gram repetition
+                "every word here is used exactly once with no repeats at all",
+                "x",  # fewer than 2 tokens -> zeros
+            ],
+        }
+    )
+    got = {r["doc_id"]: r for r in repetition_stats(spark.createDataFrame(docs)).collect()}
+    assert got[1]["dup_gram_frac"] > 0.9 and got[1]["top_gram_frac"] > 0.4
+    assert got[2]["dup_gram_frac"] == 0.0 and got[2]["n_distinct"] == got[2]["n_grams"]
+    assert got[3]["n_grams"] == 0 and got[3]["dup_gram_frac"] == 0.0
