@@ -189,25 +189,41 @@ class FrontierEngine:
         return os.path.relpath(path, store.dir)
 
     # ------------------------------------------------------------ seen probe
-    def _filter_new(self, store: JobStateStore, candidates: DataFrame, persisted: Optional[list] = None) -> DataFrame:
-        """Anti-join candidates against the seen set (U2/J1). Bloom path:
-        partition-wise probe, exact anti-join of the positives ONLY, against
-        ONLY the seen buckets the positives fall in (PartitionFilter-pruned
-        scan) — the re-check cost tracks the Bloom FP count, not seen-set
-        age or size."""
-        if not store.seen_paths():
-            return candidates
-        if not self.cfg.use_bloom:
-            return candidates.join(self._seen_df(store).select("url_hash"), "url_hash", "left_anti")
+    def _filter_new(self, store: JobStateStore, keyed: DataFrame, persisted: Optional[list] = None):
+        """Within-round dedup (U3) fused with the seen anti-join (U2/J1).
+        Input is the round's keyed candidate stream WITH duplicates; returns
+        (fresh, deduped) where `deduped` is the distinct candidate view
+        (for metrics).
+
+        Bloom path — ONE exchange total: the probe's fine key is a pure
+        function of url_hash, so hash-partitioning by it co-locates every
+        duplicate; the probe task drops duplicates per partition (a running
+        per-partition hash set across its Arrow batches) and Bloom-checks
+        the survivors in the same pass. The separate dropDuplicates
+        exchange this replaces shuffled the full candidate set a second
+        time per round. Exact re-check of positives then scans ONLY the
+        positives' own seen buckets (PartitionFilter-pruned) — re-check
+        cost tracks the FP count, not seen-set age or size."""
+        if not self.cfg.use_bloom or not store.seen_paths():
+            deduped = keyed.dropDuplicates(["url_hash"]).persist()
+            if persisted is not None:
+                persisted.append(deduped)
+            if not store.seen_paths():
+                return deduped, deduped
+            fresh = deduped.join(self._seen_df(store).select("url_hash"), "url_hash", "left_anti")
+            return fresh, deduped
 
         blobs = {b: p for b, p in store.bloom_blobs().items()}
         params = self.cfg.bloom
 
-        def probe(batches):
+        def dedup_probe(batches):
             import pandas as pd  # noqa: F401
 
             cache: dict = {}
+            seen_hashes: set = set()  # per-PARTITION dedup state (one task = one partition)
             for pdf in batches:
+                pdf = pdf[~pdf["url_hash"].isin(seen_hashes)].drop_duplicates("url_hash")
+                seen_hashes.update(pdf["url_hash"].tolist())
                 out = []
                 for bucket, grp in pdf.groupby("seen_bucket"):
                     filt = cache.get(bucket)
@@ -220,13 +236,13 @@ class FrontierEngine:
                     out.append(g)
                 yield pd.concat(out) if out else pdf.assign(maybe_seen=False)
 
-        schema = candidates.schema.add("maybe_seen", "boolean")
+        schema = keyed.schema.add("maybe_seen", "boolean")
         # exchange on a refinement of seen_bucket (multiple-of-buckets key):
         # each task still touches few blobs, but every reducer gets work
         # (hashing on the bucket alone leaves ~37% of reducers empty)
         fine_key = F.pmod(F.col("url_hash"), F.lit(self.cfg.seen_buckets * 8))
         n_par = 2 * self.spark.sparkContext.defaultParallelism  # finer tasks smooth stragglers
-        probed = candidates.repartition(n_par, fine_key).mapInPandas(probe, schema=schema)
+        probed = keyed.repartition(n_par, fine_key).mapInPandas(dedup_probe, schema=schema)
         probed = probed.persist()
         if persisted is not None:
             persisted.append(probed)
@@ -241,10 +257,10 @@ class FrontierEngine:
         # history every round (O(crawl age), the 10^10-scale killer).
         pos_buckets = [r[0] for r in positives.select("seen_bucket").distinct().collect()]
         if not pos_buckets:
-            return fresh
+            return fresh, probed
         pruned_seen = self._seen_df(store, buckets=pos_buckets)
         survivors = positives.join(pruned_seen.select("url_hash"), "url_hash", "left_anti")
-        return fresh.unionByName(survivors)
+        return fresh.unionByName(survivors), probed
 
     def _write_bucketed(
         self, store: JobStateStore, out_dir: str, rows: DataFrame, bloom_round: Optional[int] = None,
@@ -524,10 +540,11 @@ class FrontierEngine:
                 persisted.append(keyed)
                 n_blocked = keyed.filter(F.col("_blocked")).count() if self.cfg.detailed_metrics else -1
                 keyed = keyed.filter(~F.col("_blocked")).drop("_blocked")
-            candidates = keyed.dropDuplicates(["url_hash"]).persist()  # U3 within-round
-            persisted.append(candidates)
-            n_candidates = candidates.count() if self.cfg.detailed_metrics else -1
-            fresh = self._filter_new(store, candidates, persisted)  # U2 cross-depth
+            # U3 within-round dedup fused with the U2 cross-depth probe —
+            # one exchange for both (see _filter_new); `deduped` is the
+            # distinct candidate view for metrics
+            fresh, deduped = self._filter_new(store, keyed, persisted)
+            n_candidates = deduped.count() if self.cfg.detailed_metrics else -1
             new_rows = fresh.withColumn("depth", F.lit(d + 1)).select(
                 "url", "host", "url_hash", "seen_bucket", "depth"
             )
