@@ -36,6 +36,17 @@ def connected_components(
         .withColumn("component", F.col("node"))
         .persist()
     )
+    try:
+        return _propagate(sym, labels, max_iters)
+    finally:
+        # guaranteed on every exit path (incl. the non-convergence raise):
+        # the 2×-edge cache must not outlive the call. Per-iteration
+        # localCheckpoint blocks are released when their frames are GC'd
+        # on the driver — bounded at O(iterations) label tables.
+        sym.unpersist()
+
+
+def _propagate(sym: DataFrame, labels: DataFrame, max_iters: int) -> DataFrame:
     for it in range(max_iters):
         # candidate labels: own + the label of every neighbor
         from_neighbors = (
@@ -72,11 +83,8 @@ def connected_components(
         labels.unpersist()
         labels = nxt_full.drop("old")
         if changed:
-            break
-    else:
-        raise RuntimeError(f"connected_components did not converge in {max_iters} rounds")
-    sym.unpersist()
-    return labels
+            return labels
+    raise RuntimeError(f"connected_components did not converge in {max_iters} rounds")
 
 
 def neardup_clusters(docs: DataFrame, pairs: DataFrame) -> DataFrame:

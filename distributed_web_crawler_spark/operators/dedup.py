@@ -49,19 +49,25 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
     )
 
 
-def shingles(docs: DataFrame, n: int = SHINGLE) -> DataFrame:
-    """Distinct n-word shingles per doc: (doc_id, s)."""
-    words = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
-    # NB: Spark sequence(1, 0) would count DOWN — guard short docs explicitly
-    sh = F.when(
+def ngram_array(text_col, n: int):
+    """Array of n-word grams of a text column (empty for docs shorter than
+    n words — NB: Spark sequence(1, 0) would count DOWN, so short docs are
+    guarded explicitly). Shared by shingles() and textstats.repetition_stats."""
+    words = F.split(F.trim(F.lower(text_col)), r"\s+")
+    return F.when(
         F.size(words) >= n,
         F.transform(
             F.sequence(F.lit(1), F.size(words) - (n - 1)),
             lambda k: F.concat_ws(" ", F.slice(words, k, n)),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def shingles(docs: DataFrame, n: int = SHINGLE) -> DataFrame:
+    """Distinct n-word shingles per doc: (doc_id, s)."""
     return (
-        docs.select("doc_id", F.explode(sh).alias("s")).dropDuplicates(["doc_id", "s"])
+        docs.select("doc_id", F.explode(ngram_array(F.col("text"), n)).alias("s"))
+        .dropDuplicates(["doc_id", "s"])
     )
 
 
@@ -135,8 +141,11 @@ def jaccard_verified_pairs(
     reuse common subplans across DataFrame branches, so with
     `cache_shingles` (default) it is persisted once (MEMORY_AND_DISK) and
     every branch reads the cache — measured ~2× on the sf0.1 slice. The
-    cache outlives this call (the returned plan executes later); Spark
-    evicts it LRU, or the caller can clear it via spark.catalog."""
+    cache must outlive this call (the returned plan executes later), so it
+    is freed only when the plan is GC'd on the driver or the caller clears
+    it (spark.catalog.clearCache()); memory pressure spills it to disk
+    rather than evicting, so repeated callers in one session should clear
+    between runs if the shingle set is large."""
     sh = shingles(docs)
     if cache_shingles:
         sh = sh.persist()

@@ -97,7 +97,11 @@ def contamination_report(docs: DataFrame, eval_mod: int = EVAL_MOD, n: int = CON
     from .dedup import shingles
     from ..functions.portable_hash import hash60
 
-    sh = shingles(docs, n).select("doc_id", hash60(F.col("s")).alias("g"))
+    # persisted: Catalyst does not reuse the shingle subplan across the
+    # eval-grams branch and the training-hits branch — without the cache
+    # the corpus-wide explode+distinct shuffle runs twice (same fix as
+    # dedup.jaccard_verified_pairs' cache_shingles)
+    sh = shingles(docs, n).select("doc_id", hash60(F.col("s")).alias("g")).persist()
     is_eval = F.pmod(F.col("doc_id"), F.lit(eval_mod)) == 0
     eval_grams = sh.filter(is_eval).select("g").distinct()
     hits = (
@@ -148,15 +152,9 @@ def repetition_stats(docs: DataFrame, n: int = 2) -> DataFrame:
     total) — the two repetition signals Rae et al. (Gopher, 2021) threshold
     to drop looping/boilerplate documents. One explode + two aggregations,
     all JVM-side. Docs with fewer than n tokens report zeros."""
-    words = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
-    grams = F.when(
-        F.size(words) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(words) - (n - 1)),
-            lambda k: F.concat_ws(" ", F.slice(words, k, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    g = docs.select("doc_id", F.explode_outer(grams).alias("s"))
+    from .dedup import ngram_array
+
+    g = docs.select("doc_id", F.explode_outer(ngram_array(F.col("text"), n)).alias("s"))
     per_gram = g.groupBy("doc_id", "s").agg(F.count("s").alias("c"))
     return per_gram.groupBy("doc_id").agg(
         F.sum("c").cast("long").alias("n_grams"),
