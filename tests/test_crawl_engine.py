@@ -193,3 +193,46 @@ def test_blocked_seed_yields_empty_job(spark, corpus_1k, tmp_path):
     eng = engine_for(spark, tmp_path, corpus_1k, EngineConfig(robots=rob, use_bloom=False))
     s = eng.run_job("blk", C.url_of(blocked[0], spec), 2)
     assert s["done"] and s["n_seen"] == 0
+
+
+def test_fused_dedup_across_arrow_batches(spark, corpus_1k, tmp_path):
+    """The probe task dedups with a running per-partition hash set that
+    must survive ARROW BATCH boundaries (maxRecordsPerBatch=2048): a
+    candidate set with every URL duplicated many times — large enough
+    that one partition spans several batches — must come out exactly
+    distinct, with seen URLs removed and unseen kept (fixtures keep the
+    candidate sets far below one batch, so this path is otherwise
+    untested until production scale)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from distributed_web_crawler_spark.fixtures import corpus as C
+    from distributed_web_crawler_spark.functions import urls as U
+    from distributed_web_crawler_spark.plans.frontier import EngineConfig, FrontierEngine
+
+    spec, path = corpus_1k
+    eng = FrontierEngine(
+        spark, str(tmp_path / "wh"), path, spec, EngineConfig(use_bloom=True, seen_buckets=8)
+    )
+    seed_i = next(i for i in range(spec.n) if len(C.out_links(i, spec)) >= 3)
+    eng.run_job("fb", C.url_of(seed_i, spec), 2)
+    store = eng.store("fb")
+    seen_urls = {r["url"] for r in eng.seen_df("fb").collect()}
+    assert len(seen_urls) >= 4
+
+    # 600 distinct URLs (some seen, some not) x 12 copies = 7200 rows in
+    # ONE partition -> >3 Arrow batches through the probe task
+    distinct_urls = sorted(seen_urls) + [C.url_of(i, spec) for i in range(600 - len(seen_urls))]
+    distinct_urls = sorted(set(distinct_urls))
+    keyed = (
+        spark.createDataFrame(pd.DataFrame({"url": distinct_urls * 12}))
+        .withColumn("host", U.host_of(F.col("url")))
+        .withColumn("url_hash", U.url_hash(F.col("url")))
+        .withColumn("seen_bucket", U.seen_bucket(F.col("url_hash"), 8))
+        .coalesce(1)
+    )
+    fresh, deduped = eng._filter_new(store, keyed)
+    got = [r["url"] for r in fresh.collect()]
+    assert len(got) == len(set(got)), "duplicates leaked across Arrow batches"
+    assert set(got) == set(distinct_urls) - seen_urls
+    assert deduped.count() == len(distinct_urls)
