@@ -300,15 +300,34 @@ N_VIDS = 16
 FRAME_EVERY = 10
 
 
-def q_audio_features(spark, sf_dir):
-    import pandas as pd
+def _gen_distributed(spark, n, make_row, id_col):
+    """Synthesize fixture blobs INSIDE workers from an index range — a
+    driver-side pandas list would ship every payload in the task binary
+    (Spark warns at >1 MiB tasks), and at any real count would bottleneck
+    on the driver; this is the corpus-builder pattern."""
 
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = [make_row(int(i)) for i in pdf["id"]]
+            yield pd.DataFrame(rows, columns=[id_col, "bytes"])
+
+    return (
+        spark.range(n)
+        .repartition(8)
+        .mapInPandas(gen, schema=f"{id_col} string, bytes binary")
+    )
+
+
+def q_audio_features(spark, sf_dir):
     from .fixtures import corpus as C
     from .operators.multimodal import audio_features
 
     spec = C.CorpusSpec(n=N_CLIPS)
-    rows = [C.make_audio_row(i, spec) for i in range(N_CLIPS)]
-    df = spark.createDataFrame(pd.DataFrame(rows)[["clip_id", "bytes"]])
+    df = _gen_distributed(
+        spark, N_CLIPS, lambda i: C.make_audio_row(i, spec), "clip_id"
+    )
     f = audio_features(df)
     return f.select(
         "clip_id",
@@ -321,14 +340,13 @@ def q_audio_features(spark, sf_dir):
 
 
 def q_video_frame_sample(spark, sf_dir):
-    import pandas as pd
-
     from .fixtures import corpus as C
     from .operators.multimodal import sample_video_frames
 
     spec = C.CorpusSpec(n=N_VIDS)
-    rows = [C.make_video_row(i, spec) for i in range(N_VIDS)]
-    df = spark.createDataFrame(pd.DataFrame(rows)[["video_id", "bytes"]])
+    df = _gen_distributed(
+        spark, N_VIDS, lambda i: C.make_video_row(i, spec), "video_id"
+    )
     sampled = sample_video_frames(df, every_n=FRAME_EVERY)
     return sampled.select(
         "video_id", "frame_idx", "n_frames", F.sha2(F.col("bytes"), 256).alias("frame_sha")
