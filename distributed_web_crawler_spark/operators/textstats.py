@@ -196,3 +196,48 @@ def repetition_stats(docs: DataFrame, n: int = 2) -> DataFrame:
             "top_gram_frac"
         ),
     )
+
+
+def line_dedup_stats(docs: DataFrame, min_count: int = 3) -> DataFrame:
+    """C4-style line-level dedup signals: split each doc into lines
+    (period-separated, trimmed, empties dropped), count each line's
+    occurrences CORPUS-WIDE, and report per doc how many of its lines are
+    boilerplate (appearing >= min_count times anywhere) plus the
+    boilerplate fraction — the statistic C4 (Raffel et al., 2020)
+    thresholds to strip repeated footers/menus/disclaimers.
+
+    Scale shape: lines are hashed (portable md5-60) BEFORE the count
+    shuffle so only 8-byte keys ride the exchange; the per-doc rollup
+    joins hash->count back to the doc's lines. Docs with no lines report
+    zeros."""
+    from ..functions.portable_hash import hash60
+
+    lines = F.filter(
+        F.transform(F.split(F.col("text"), r"\."), lambda x: F.trim(x)),
+        lambda x: x != "",
+    )
+    sents = docs.select("doc_id", F.explode(lines).alias("s")).select(
+        "doc_id", hash60(F.col("s")).alias("h")
+    )
+    counts = sents.groupBy("h").agg(F.count("*").alias("c"))
+    per = (
+        sents.join(counts, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum((F.col("c") >= min_count).cast("int")).cast("long").alias("n_boilerplate"),
+        )
+    )
+    nz = F.col("n_lines") > 0
+    return (
+        docs.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_lines"), F.lit(0)).alias("n_lines"),
+            F.coalesce(F.col("n_boilerplate"), F.lit(0)).alias("n_boilerplate"),
+            F.round(
+                F.when(nz, F.col("n_boilerplate") / F.col("n_lines")).otherwise(F.lit(0.0)), 4
+            ).alias("boilerplate_frac"),
+        )
+    )

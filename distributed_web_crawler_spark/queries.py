@@ -189,6 +189,26 @@ def q_stratified_sample(spark, sf_dir):
     return T.stratified_sample(_t(spark, sf_dir, "documents"))
 
 
+# the driver documents have no natural line structure (one period-free
+# sentence per doc), so the line-dedup query plants a shared boilerplate
+# footer on every 5th doc in BOTH engines — same pattern as the planted
+# embedding near-dups — and the operator must flag exactly those lines
+BOILERPLATE = "all rights reserved copyright footer"
+
+
+def q_line_dedup(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.pmod(F.col("doc_id"), F.lit(5)) == 0,
+            F.concat(F.col("text"), F.lit(f". {BOILERPLATE}")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return T.line_dedup_stats(docs)
+
+
 def q_neardup_clusters(spark, sf_dir):
     """Fuzzy-dedup keeper election: connected components over the
     LSH-verified Jaccard pairs (a chain a~b~c collapses to one cluster
@@ -778,6 +798,30 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN agg a USING (doc_id)"""
 
 
+ORACLE_SQL["line_dedup"] = f"""
+WITH aug AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN text || '. {BOILERPLATE}' ELSE text END AS text
+  FROM documents
+),
+sents AS (
+  SELECT doc_id, {hash60_sql('s')} AS h
+  FROM (SELECT doc_id, trim(x) AS s FROM aug, UNNEST(string_split(text, '.')) t(x))
+  WHERE s <> ''
+),
+counts AS (SELECT h, count(*) AS c FROM sents GROUP BY h),
+per AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+         CAST(sum(CASE WHEN c >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_boilerplate
+  FROM sents JOIN counts USING (h) GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(p.n_lines, 0) AS n_lines,
+       coalesce(p.n_boilerplate, 0) AS n_boilerplate,
+       round(CASE WHEN coalesce(p.n_lines, 0) > 0
+                  THEN CAST(p.n_boilerplate AS DOUBLE) / p.n_lines ELSE 0 END, 4) AS boilerplate_frac
+FROM documents d LEFT JOIN per p USING (doc_id)"""
+
+
 ORACLE_SQL["contamination_report"] = f"""
 WITH {_ngram_cte(T.CONTAM_N)},
 g AS (SELECT doc_id, {hash60_sql('s')} AS g FROM shC),
@@ -851,6 +895,7 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_verified_pairs": q_jaccard_verified_pairs,
         "simhash": q_simhash,
         "winnow_fingerprint": q_winnow_fingerprint,
+        "line_dedup": q_line_dedup,
         "neardup_clusters": q_neardup_clusters,
         "repetition_stats": q_repetition_stats,
         "contamination_report": q_contamination_report,

@@ -238,3 +238,32 @@ def test_repetition_stats_flags_looping_text(spark):
     assert got[1]["dup_gram_frac"] > 0.9 and got[1]["top_gram_frac"] > 0.4
     assert got[2]["dup_gram_frac"] == 0.0 and got[2]["n_distinct"] == got[2]["n_grams"]
     assert got[3]["n_grams"] == 0 and got[3]["dup_gram_frac"] == 0.0
+
+
+def test_line_dedup_flags_planted_boilerplate(spark):
+    """Docs sharing a corpus-wide repeated footer line get it flagged;
+    unique lines never are; line-less docs report zeros."""
+    import pandas as pd
+
+    from distributed_web_crawler_spark.operators.textstats import line_dedup_stats
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": list(range(6)),
+            "text": [
+                "unique body zero. shared footer here",
+                "unique body one. shared footer here",
+                "unique body two. shared footer here",
+                "unique body three only",
+                "",  # no lines at all
+                "a. b. a",  # within-doc repeat but corpus count 2 < 3 -> not flagged
+            ],
+        }
+    )
+    got = {r["doc_id"]: r for r in line_dedup_stats(spark.createDataFrame(docs)).collect()}
+    for d in (0, 1, 2):
+        assert (got[d]["n_lines"], got[d]["n_boilerplate"]) == (2, 1)
+        assert got[d]["boilerplate_frac"] == 0.5
+    assert got[3]["n_boilerplate"] == 0 and got[3]["n_lines"] == 1
+    assert got[4]["n_lines"] == 0 and got[4]["boilerplate_frac"] == 0.0
+    assert got[5]["n_boilerplate"] == 0 and got[5]["n_lines"] == 3
