@@ -9,11 +9,10 @@ order are pure functions of the data — never of partition count — so runs
 at local[8] and local[32] admit identical sets (SURVEY.md §7 risk (d)) and
 the scaling-efficiency comparison is apples-to-apples.
 
-Scale note: the window shuffles a depth's pending rows by host; budgets are
-tiny (≤8 here), so a mega-host's partition exists only to pick its first k
-rows. If a single host's pending set outgrows one task at 10^10-URL scale,
-pre-filter with an approximate per-host hash threshold (top-k sketch) before
-the window; AQE skew-join splitting does not apply to windows.
+Scale note (mega-hosts): ranking partitions by (host, url_hash-range), not
+by host alone — see `schedule` — so a single hot host's pending set spreads
+across up to 2^RANK_CHUNK_BITS tasks instead of one; AQE skew-join
+splitting does not apply to windows, so the split must be in the key.
 """
 
 from __future__ import annotations
@@ -23,6 +22,14 @@ from typing import Tuple
 from pyspark.sql import DataFrame, Window, functions as F
 
 from ..oracle.crawler import PolitenessPolicy
+
+# ordered url_hash ranges per host for the rank computation: the window
+# partitions by (host, chunk) so a mega-host's pending set is ranked by up
+# to 2^RANK_CHUNK_BITS tasks, not one. 6 bits = 64 ranges: enough that the
+# largest single-host frontier this engine targets per depth (~10^8 rows)
+# ranks in ~1.5M-row tasks; raising it costs only a few more rows in the
+# (tiny) per-(host, chunk) offset table.
+RANK_CHUNK_BITS = 6
 
 
 def budget_col(host_col, policy: PolitenessPolicy):
@@ -49,20 +56,52 @@ def schedule(pending: DataFrame, policy: PolitenessPolicy, persisted: list | Non
     every sub-round cost O(pending × sub_rounds) (the r2 verdict's
     write-amplification item).
 
-    Scale note: the full ranking shuffles the depth's pending rows by host
-    ONCE PER DEPTH (the old loop re-shuffled the shrinking remainder every
-    sub-round). A 10^8-row mega-host still ranks inside a single task; if
-    that ever binds, range-partition the host's rows by url_hash and offset
-    ranks by partition-prefix counts — the schedule is a pure function of
-    (url_hash, url) order either way.
+    Scale note: the full ranking shuffles the depth's pending rows ONCE PER
+    DEPTH (the old loop re-shuffled the shrinking remainder every
+    sub-round), and it shuffles them by (host, url_hash-range), NOT by host
+    alone: a mega-host's pending set is range-partitioned into
+    2^RANK_CHUNK_BITS ordered url_hash chunks, each chunk is ranked locally
+    by `row_number()`, and the global per-host rank is recovered by adding
+    the host's prefix count of earlier chunks (a tiny broadcast-joined
+    offset table, ≤ hosts × 2^RANK_CHUNK_BITS rows). The chunk id
+    ``url_hash >> (64 - RANK_CHUNK_BITS)`` (arithmetic shift) is monotone in
+    the signed url_hash order and equal hashes share a chunk, so
+    local-rank + offset reproduces ``row_number() over (partition by host
+    order by url_hash, url)`` EXACTLY — the schedule stays a pure function
+    of the data, identical at any parallelism, while no single task ever
+    ranks more than ~1/2^RANK_CHUNK_BITS of one host (the r3 verdict's
+    single-task mega-host ceiling).
 
     Pass `persisted` (a list) to persist the shared `ranked` ancestor —
     without it, consuming `admitted_now` and `scheduled` as separate
-    actions re-runs the host-window shuffle twice; the engine persists it
-    and unpersists at end of round."""
-    w = Window.partitionBy("host").orderBy(F.col("url_hash").asc(), F.col("url").asc())
-    ranked = pending.withColumn("_rn", F.row_number().over(w)).withColumn(
-        "_budget", budget_col(F.col("host"), policy)
+    actions re-runs the rank shuffle twice; the engine persists it and
+    unpersists at end of round."""
+    chunk = F.shiftright(F.col("url_hash"), 64 - RANK_CHUNK_BITS)
+    local = pending.withColumn("_chunk", chunk)
+    # per-(host, chunk) row counts -> per-chunk rank offsets (prefix sum
+    # over the host's earlier chunks). The offset table is an aggregate —
+    # at most hosts × 2^RANK_CHUNK_BITS rows — so its own window runs on
+    # control-plane-sized data and the join back is an explicit broadcast.
+    ow = (
+        Window.partitionBy("host")
+        .orderBy("_chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        local.groupBy("host", "_chunk")
+        .agg(F.count("*").alias("_c"))
+        .withColumn("_off", F.coalesce(F.sum("_c").over(ow), F.lit(0)))
+        .select("host", "_chunk", "_off")
+    )
+    w = Window.partitionBy("host", "_chunk").orderBy(
+        F.col("url_hash").asc(), F.col("url").asc()
+    )
+    ranked = (
+        local.withColumn("_lrn", F.row_number().over(w))
+        .join(F.broadcast(offsets), ["host", "_chunk"])
+        .withColumn("_rn", F.col("_lrn") + F.col("_off"))
+        .drop("_chunk", "_lrn", "_off")
+        .withColumn("_budget", budget_col(F.col("host"), policy))
     )
     if persisted is not None:
         ranked = ranked.persist()

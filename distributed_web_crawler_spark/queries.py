@@ -850,16 +850,18 @@ SELECT doc_id, lang, sample_bucket FROM b
 WHERE sample_bucket < {_sample_case_sql()}"""
 
 
-# winnowing: same k-gram md5-60 hashes, window minima via a frame'd window
-# function; i <= greatest(n-w+1, 1) keeps exactly the complete windows,
-# degenerating to the single all-grams window when a doc has < w grams
-# (matching the operator's n <= w branch)
+# winnowing: same polynomial (Karp-Rabin) k-gram hashes as the operator —
+# winnow_hash_sql renders the identical two-channel mod-2^31-1 arithmetic
+# as plain BIGINT SQL — window minima via a frame'd window function;
+# i <= greatest(n-w+1, 1) keeps exactly the complete windows, degenerating
+# to the single all-grams window when a doc has < w grams (matching the
+# operator's n <= w branch)
 ORACLE_SQL["winnow_fingerprint"] = f"""
 WITH t AS (
   SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS tn FROM documents
 ),
 grams AS (
-  SELECT doc_id, i, {hash60_sql(f'substr(tn, CAST(i AS INT), {D.WINNOW_K})')} AS h
+  SELECT doc_id, i, {D.winnow_hash_sql('tn', 'i')} AS h
   FROM t, UNNEST(range(1, length(tn) - {D.WINNOW_K} + 2)) u(i)
   WHERE length(tn) >= {D.WINNOW_K}
 ),

@@ -130,14 +130,15 @@ def test_winnow_fingerprint_properties(spark):
     """MOSS winnowing guarantees, checked on planted docs: exact duplicates
     select identical fingerprint sets; two docs sharing a substring of
     length >= w+k-1 share at least one fingerprint; disjoint-alphabet docs
-    share none; selected hashes are a subset of the doc's k-gram hashes."""
-    import hashlib
-
+    share none; selected hashes are a subset of the doc's k-gram hashes
+    (computed via the pure-Python winnow_gram_hash reference — this also
+    pins the vectorized numpy path to the reference arithmetic)."""
     import pandas as pd
     from distributed_web_crawler_spark.operators.dedup import (
         WINNOW_K,
         WINNOW_W,
         winnow_fingerprints,
+        winnow_gram_hash,
     )
 
     shared = "thequickbrownfoxjumpsoverthelazydogandkeepsrunningfar"  # > w+k-1 chars
@@ -166,7 +167,7 @@ def test_winnow_fingerprint_properties(spark):
 
     tn = re.sub(r"[^a-z0-9]", "", docs["text"][0].lower())
     grams = {
-        int(hashlib.md5(tn[i : i + WINNOW_K].encode()).hexdigest()[:15], 16)
+        winnow_gram_hash(tn[i : i + WINNOW_K])
         for i in range(len(tn) - WINNOW_K + 1)
     }
     assert by_doc[1] <= grams
