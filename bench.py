@@ -48,6 +48,10 @@ def bench_queries(spark):
         t0 = time.monotonic()
         fn(spark, SF_DIR).collect()
         times[name] = round(time.monotonic() - t0, 3)
+        # the shingle/ranked caches some operators persist are held by the
+        # CacheManager until cleared — drop them so queries don't pay (or
+        # profit from) a neighbor's leftover MEMORY_AND_DISK entries
+        spark.catalog.clearCache()
     return times
 
 

@@ -55,17 +55,30 @@ def changes_pdf(
     if start_version is not None and start_version in snaps:
         prev = read_version(table, start_version)
     else:
-        # A checkpointed start_version that compact() has expired must FAIL,
-        # not silently replay the first surviving snapshot as inserts — a
-        # resuming CDC consumer would double-count every row (Delta/Iceberg
-        # raise for an expired start snapshot too). start_version=0/None
-        # still means "from the beginning" (full state as inserts).
-        if start_version and snaps and start_version < max(snaps):
-            raise ValueError(
-                f"start_version {start_version} has been compacted away "
-                f"(earliest available snapshot: {min(snaps)}); the consumer "
-                "must re-baseline from a full snapshot read"
-            )
+        # A checkpointed start_version that is NOT a committed snapshot must
+        # FAIL, never silently degrade (Delta/Iceberg raise for an invalid
+        # start snapshot too). Two distinct corruptions land here:
+        # expired (< max: compact() dropped it — replaying the first
+        # surviving snapshot as inserts would double-count every row) and
+        # unknown (> max, or an empty/rebuilt table: a corrupted checkpoint
+        # or a rolled-back table — returning an empty changeset would make
+        # the consumer silently miss every future row until its checkpoint
+        # is coincidentally passed). start_version=0/None still means
+        # "from the beginning" (full state as inserts).
+        if start_version:
+            if snaps and start_version < max(snaps):
+                raise ValueError(
+                    f"start_version {start_version} has been compacted away "
+                    f"(earliest available snapshot: {min(snaps)}); the consumer "
+                    "must re-baseline from a full snapshot read"
+                )
+            if not snaps or start_version > max(snaps):
+                raise ValueError(
+                    f"start_version {start_version} is not a committed snapshot "
+                    f"(newest: {max(snaps) if snaps else None}); the table was "
+                    "rolled back or the checkpoint is corrupt — the consumer "
+                    "must re-baseline from a full snapshot read"
+                )
         prev = None
     out = []
     for v in vs:

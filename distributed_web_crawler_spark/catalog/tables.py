@@ -89,8 +89,11 @@ class JobStateStore:
 
         return os.path.join(self.seen_compact_dir(), f"c{upto:05d}_{uuid.uuid4().hex[:12]}")
 
-    def bloom_blob_path(self, r: int, bucket: int) -> str:
-        return os.path.join(self.round_dir(r), "blooms", f"bucket_{bucket:05d}.bin")
+    def bloom_blob_path(self, r: int, bucket: int, chunk: int = 0) -> str:
+        """Blob file for (round, bucket[, write-chunk]). Chunk 0 keeps the
+        historic name so unchunked stores read back unchanged."""
+        name = f"bucket_{bucket:05d}.bin" if chunk == 0 else f"bucket_{bucket:05d}.c{chunk}.bin"
+        return os.path.join(self.round_dir(r), "blooms", name)
 
     # ---------------------------------------------------------- commits
     def last_committed(self) -> Optional[int]:
@@ -255,26 +258,53 @@ class JobStateStore:
         except FileNotFoundError:
             return None
 
-    def set_seen_compact(self, upto: int, relpath: str) -> None:
-        """Atomically flip the seen-compaction pointer. Last-writer-wins is
-        safe: any writer's (upto, path) pair is self-consistent, and deltas
-        above EVERY possible upto are retained until vacuum observes the
-        current pointer."""
+    def set_seen_compact(self, upto: int, relpath: str) -> bool:
+        """Atomically flip the seen-compaction pointer — MONOTONICALLY.
+        A stale/zombie compactor must never move the pointer BACKWARD: once
+        vacuum has observed a newer pointer it may have deleted the deltas
+        in (old_upto, new_upto], which then exist only in the newer
+        compaction dir — a backward flip would orphan them and a later
+        vacuum would delete that dir as superseded, losing seen rows
+        permanently. Refusing upto <= current makes any interleaving safe
+        (the loser's staging dir ages out via vacuum); equal-upto ties keep
+        the first-published generation. Returns whether the flip was
+        applied."""
+        cur = self.read_seen_compact()
+        if cur is not None and int(upto) <= int(cur["upto"]):
+            return False
         _atomic_write(
             os.path.join(self.dir, "seen_compact.json"),
             json.dumps({"upto": int(upto), "path": relpath}).encode(),
         )
+        return True
 
     def metrics_paths(self) -> List[str]:
         return [self.metrics_path(r) for r in self.committed_rounds() if os.path.isdir(self.metrics_path(r))]
 
-    def bloom_blobs(self, r: Optional[int] = None) -> Dict[int, str]:
-        """bucket -> blob file path as of committed round r (default: last)."""
+    def bloom_blobs(self, r: Optional[int] = None) -> Dict[int, List[str]]:
+        """bucket -> blob file path LIST as of committed round r (default:
+        last). A round that wrote a bucket in chunked mode leaves one blob
+        file per chunk (each = previous filter | chunk bits); the reader
+        ORs the list (functions/bloom.load_blobs). The listing is one
+        directory scan of the manifest round's blooms dir — on a real
+        catalog this is the manifest-file entry list, not a listing."""
         r = self.last_committed() if r is None else r
         if r is None:
             return {}
         manifest = self.read_commit(r).get("bloom_manifest", {})
-        return {int(b): self.bloom_blob_path(rr, int(b)) for b, rr in manifest.items()}
+        by_round: Dict[int, List[str]] = {}
+        for rr in set(manifest.values()):
+            d = os.path.join(self.round_dir(rr), "blooms")
+            by_round[rr] = sorted(os.listdir(d)) if os.path.isdir(d) else []
+        out: Dict[int, List[str]] = {}
+        for b, rr in manifest.items():
+            prefix = f"bucket_{int(b):05d}"
+            out[int(b)] = [
+                os.path.join(self.round_dir(rr), "blooms", f)
+                for f in by_round[rr]
+                if f.startswith(prefix) and f.endswith(".bin")
+            ]
+        return out
 
 
 class AtomicTable:

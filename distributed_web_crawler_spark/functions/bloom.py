@@ -80,6 +80,26 @@ def load_blob(path: str, p: BloomParams) -> np.ndarray:
     return empty_filter(p)
 
 
+def load_blobs(paths, p: BloomParams) -> np.ndarray:
+    """OR-merge one bucket's blob file(s) into a single filter. A bucket
+    written by a chunked round (plans/frontier._write_bucketed with
+    chunks > 1) has one blob file PER CHUNK, each = previous filter | that
+    chunk's bits, so the union of any subset that covers all chunks — and
+    the OR of all of them — is exactly previous | round's bits. Accepts a
+    single path, a list of paths, or None/"" (empty filter)."""
+    if paths is None or isinstance(paths, str):
+        return load_blob(paths or "", p)
+    filt = None
+    for path in paths:
+        if path and os.path.exists(path):
+            arr = np.fromfile(path, dtype=np.uint8)
+            if filt is None:
+                filt = arr
+            else:
+                np.bitwise_or(filt, arr, out=filt)
+    return filt if filt is not None else empty_filter(p)
+
+
 def write_blob(path: str, filt: np.ndarray) -> None:
     # tmp name unique per attempt: concurrent attempts of the same bucket
     # group (speculative execution / a zombie master racing a timeout-steal

@@ -129,6 +129,7 @@ def jaccard_verified_pairs(
     k: int = N_MINHASHES,
     rows_per_band: int = ROWS_PER_BAND,
     cache_shingles: bool = True,
+    persisted: list | None = None,
 ) -> DataFrame:
     """Exact shingle-set Jaccard computed ONLY over MinHash-LSH candidate
     pairs — the scale path (the exposed query). The quadratic all-pairs
@@ -141,14 +142,17 @@ def jaccard_verified_pairs(
     reuse common subplans across DataFrame branches, so with
     `cache_shingles` (default) it is persisted once (MEMORY_AND_DISK) and
     every branch reads the cache — measured ~2× on the sf0.1 slice. The
-    cache must outlive this call (the returned plan executes later), so it
-    is freed only when the plan is GC'd on the driver or the caller clears
-    it (spark.catalog.clearCache()); memory pressure spills it to disk
-    rather than evicting, so repeated callers in one session should clear
-    between runs if the shingle set is large."""
+    cache must outlive this call (the returned plan executes later) and
+    Spark's CacheManager holds a strong reference to it, so it is NOT
+    freed when the plan is GC'd: pass `persisted` (a list) to receive the
+    handle and unpersist after the consuming action, or clear between runs
+    with spark.catalog.clearCache() (what bench.py does) — repeated
+    callers in one session otherwise accumulate MEMORY_AND_DISK entries."""
     sh = shingles(docs)
     if cache_shingles:
         sh = sh.persist()
+        if persisted is not None:
+            persisted.append(sh)
     cand = minhash_lsh_pairs(docs, k, rows_per_band, sh=sh)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     inter = (

@@ -84,7 +84,9 @@ CONTAM_N = 5  # words per overlap shingle (13-gram tokens at prod; 5 fits fixtur
 EVAL_MOD = 97  # deterministic "held-out benchmark" stand-in: doc_id % 97 == 0
 
 
-def contamination_report(docs: DataFrame, eval_mod: int = EVAL_MOD, n: int = CONTAM_N) -> DataFrame:
+def contamination_report(
+    docs: DataFrame, eval_mod: int = EVAL_MOD, n: int = CONTAM_N, persisted: list | None = None
+) -> DataFrame:
     """Training-data decontamination: flag every TRAINING doc sharing any
     n-word shingle with the held-out eval set (here the deterministic
     doc_id % eval_mod == 0 subset stands in for a benchmark suite).
@@ -100,8 +102,12 @@ def contamination_report(docs: DataFrame, eval_mod: int = EVAL_MOD, n: int = CON
     # persisted: Catalyst does not reuse the shingle subplan across the
     # eval-grams branch and the training-hits branch — without the cache
     # the corpus-wide explode+distinct shuffle runs twice (same fix as
-    # dedup.jaccard_verified_pairs' cache_shingles)
+    # dedup.jaccard_verified_pairs' cache_shingles). The CacheManager holds
+    # the entry until unpersist/clearCache: pass `persisted` (a list) to
+    # receive the handle for cleanup after the consuming action.
     sh = shingles(docs, n).select("doc_id", hash60(F.col("s")).alias("g")).persist()
+    if persisted is not None:
+        persisted.append(sh)
     is_eval = F.pmod(F.col("doc_id"), F.lit(eval_mod)) == 0
     eval_grams = sh.filter(is_eval).select("g").distinct()
     hits = (

@@ -71,6 +71,13 @@ class EngineConfig:
     # groups or it serializes the write stage); a 10^10 deployment raises
     # this into the thousands — every path is O(buckets)
     seen_buckets: int = 64
+    # hard bound on one fused-write pandas group: when a round's estimated
+    # per-bucket row share exceeds this, _write_bucketed adds a
+    # url_hash-derived chunk to the group key (extra parquet parts + one
+    # Bloom blob per chunk, OR-merged on read) instead of handing one task
+    # an unbounded in-memory frame — the guard holds even when an operator
+    # leaves seen_buckets at a value too small for their crawl
+    max_group_rows: int = 2_000_000
     # count the per-round candidate set (extra materialization of the
     # extract+dedup pipeline) — rich metrics for tests, off for benchmarks
     detailed_metrics: bool = True
@@ -228,7 +235,7 @@ class FrontierEngine:
                 for bucket, grp in pdf.groupby("seen_bucket"):
                     filt = cache.get(bucket)
                     if filt is None:
-                        filt = B.load_blob(blobs.get(int(bucket), ""), params)
+                        filt = B.load_blobs(blobs.get(int(bucket)), params)
                         cache[bucket] = filt
                     maybe = B.contains(filt, grp["url_hash"].to_numpy(), params)
                     g = grp.copy()
@@ -264,7 +271,7 @@ class FrontierEngine:
 
     def _write_bucketed(
         self, store: JobStateStore, out_dir: str, rows: DataFrame, bloom_round: Optional[int] = None,
-        slice_col: Optional[str] = None,
+        slice_col: Optional[str] = None, approx_rows: Optional[int] = None,
     ) -> List[tuple]:
         """ONE shuffle, one pass: group rows by seen_bucket; each task writes
         its bucket's parquet part (hive layout, `seen_bucket=<b>/`) AND — for
@@ -282,18 +289,43 @@ class FrontierEngine:
         are grouped by (slice, seen_bucket) and land under
         ``out_dir/<slice_col>=<v>/seen_bucket=<b>/`` so each slice is an
         independently-readable file-set root; stats become
-        (slice, bucket, n). Without it, stats are (None, bucket, n)."""
+        (slice, bucket, n). Without it, stats are (None, bucket, n).
+
+        Memory guard (`approx_rows`): each pandas group is one bucket's
+        whole round in one task's memory. Call sites pass the row count
+        (or a cheap upper bound — over-estimating only makes groups
+        smaller); when the per-bucket share exceeds
+        ``cfg.max_group_rows`` the group key gains a url_hash-derived
+        chunk, bounding every group at ~max_group_rows regardless of what
+        an operator set ``seen_buckets`` to. Chunked buckets write
+        ``part-<bucket>-<chunk>.parquet`` side by side (same readable
+        layout) and one Bloom blob per chunk — each chunk's blob = previous
+        filter | that chunk's bits, so the reader's OR over the files
+        (bloom.load_blobs) reproduces the unchunked blob exactly and no
+        two tasks ever write one file."""
         blobs = store.bloom_blobs() if (self.cfg.use_bloom and bloom_round is not None) else None
         params = self.cfg.bloom
         update_blooms = blobs is not None
         r = bloom_round
+        chunks = 1
+        if approx_rows:
+            per_bucket = approx_rows / max(1, self.cfg.seen_buckets)
+            chunks = min(256, max(1, -(-int(per_bucket) // self.cfg.max_group_rows)))
         keys = ([slice_col] if slice_col else []) + ["seen_bucket"]
+        if chunks > 1:
+            # high url_hash bits: independent of seen_bucket (low-bit pmod)
+            rows = rows.withColumn(
+                "_wchunk",
+                F.pmod(F.shiftrightunsigned(F.col("url_hash"), 20), F.lit(chunks)).cast("int"),
+            )
+            keys = keys + ["_wchunk"]
 
         def build(key, pdf):
             import pandas as pd
             import pyarrow as pa
             import pyarrow.parquet as pq
 
+            chunk = int(key[-1]) if chunks > 1 else 0
             if slice_col:
                 sl, bucket = int(key[0]), int(key[1])
                 part_dir = os.path.join(out_dir, f"{slice_col}={sl}", f"seen_bucket={bucket}")
@@ -319,14 +351,15 @@ class FrontierEngine:
             # Dot-prefix keeps staging invisible to Spark listings.
             import uuid
 
-            path = os.path.join(part_dir, f"part-{bucket:05d}.parquet")
-            tmp = os.path.join(part_dir, f".part-{bucket:05d}.{uuid.uuid4().hex[:12]}.tmp")
+            stem = f"part-{bucket:05d}" if chunk == 0 else f"part-{bucket:05d}-{chunk:03d}"
+            path = os.path.join(part_dir, f"{stem}.parquet")
+            tmp = os.path.join(part_dir, f".{stem}.{uuid.uuid4().hex[:12]}.tmp")
             pq.write_table(table, tmp)
             os.replace(tmp, path)
             if update_blooms:
-                filt = B.load_blob(blobs.get(bucket, ""), params)
+                filt = B.load_blobs(blobs.get(bucket), params)
                 B.add_hashes(filt, pdf["url_hash"].to_numpy(), params)
-                B.write_blob(store.bloom_blob_path(r, bucket), filt)
+                B.write_blob(store.bloom_blob_path(r, bucket, chunk), filt)
             return pd.DataFrame({"slice": [sl], "bucket": [bucket], "n": [len(pdf)]})
 
         stats = rows.groupBy(*keys).applyInPandas(build, schema="slice int, bucket int, n long").collect()
@@ -363,8 +396,11 @@ class FrontierEngine:
             .write.partitionBy("seen_bucket")
             .parquet(staging)
         )
-        store.set_seen_compact(last, os.path.relpath(staging, store.dir))
-        return {"compacted": True, "upto": last, "n_components": len(paths)}
+        # flip is monotonic: if a concurrent compactor already published a
+        # newer (or same-upto) generation, this attempt's staging dir is
+        # left as an aged-out orphan for vacuum and readers keep the winner
+        flipped = store.set_seen_compact(last, os.path.relpath(staging, store.dir))
+        return {"compacted": flipped, "upto": last, "n_components": len(paths)}
 
     # ------------------------------------------------------------ main loop
     def run_job(
@@ -559,7 +595,8 @@ class FrontierEngine:
         t = _mark("extract_dedup_ms", t)
         deferred_future = (
             _POOL.submit(
-                self._write_bucketed, store, store.deferred_path(r), deferred_sched, None, "due"
+                self._write_bucketed, store, store.deferred_path(r), deferred_sched, None, "due",
+                n_deferred,
             )
             if n_deferred > 0
             else None
@@ -567,8 +604,14 @@ class FrontierEngine:
         touched: List[int] = []
         n_new = 0
         if new_rows is not None:
-            stats = self._write_bucketed(store, store.new_path(r), new_rows, bloom_round=r)
-            touched = [s[0] for s in stats]
+            # upper bound on the write's row count (new <= candidates <=
+            # admitted × max out-degree): over-estimating only shrinks the
+            # chunked groups, never breaks the memory guard
+            stats = self._write_bucketed(
+                store, store.new_path(r), new_rows, bloom_round=r,
+                approx_rows=n_admitted * C.MAX_OUT_DEGREE,
+            )
+            touched = sorted({s[0] for s in stats})
             n_new = sum(s[1] for s in stats)
         sched_entries: List[list] = []
         if deferred_future is not None:

@@ -24,6 +24,7 @@ Training-data ops run on documents/embeddings:
 
 from __future__ import annotations
 
+import os
 from typing import Callable, Dict
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
@@ -378,6 +379,50 @@ def q_windowed_metrics(spark, sf_dir):
 
     return windowed_counts(_t(spark, sf_dir, "events"), "1 hour").select(
         F.unix_timestamp("w_start").alias("w_epoch"), "event_type", "n", "sum_value"
+    )
+
+
+def q_cdc_changes(spark, sf_dir):
+    """Changelog read over the AtomicTable CAS snapshot chain
+    (catalog/changes.py — Delta-CDF op vocabulary over the control-plane
+    tables, the reference's Postgres-WAL-tailing analog,
+    Server/LockServer/lockServer.go job-state mutations). The query
+    materializes two deterministic snapshots of an orders-derived control
+    table (v1 = keys ≡ 0 mod 40; v2 deletes multiples of 120, flips
+    o_orderstatus to 'X' on multiples of 80, inserts keys ≡ 20 mod 40) in a
+    fresh AtomicTable and reads the (start=v1] incremental changeset; the
+    oracle derives the identical diff relationally from the same mod
+    classes."""
+    import tempfile
+
+    import pandas as pd
+
+    from .catalog.changes import changes_df, snapshots
+    from .catalog.tables import AtomicTable
+    from .plans.ledger import _PandasTable
+
+    base = pd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_orderstatus"]
+    )
+    wh = tempfile.mkdtemp(prefix="cdc_wh_")
+    t = _PandasTable(wh, "orders_cdc", {"o_orderkey": "int64", "o_orderstatus": "object"})
+    v1 = base[base.o_orderkey % 40 == 0].sort_values("o_orderkey").reset_index(drop=True)
+    t.write(v1)
+    v2 = v1[v1.o_orderkey % 120 != 0].copy()
+    v2.loc[v2.o_orderkey % 80 == 0, "o_orderstatus"] = "X"
+    v2 = (
+        pd.concat([v2, base[base.o_orderkey % 40 == 20]])
+        .sort_values("o_orderkey")
+        .reset_index(drop=True)
+    )
+    t.write(v2)
+    snaps = snapshots(AtomicTable(wh, "orders_cdc"))
+    assert snaps == [1, 2], snaps  # fresh dir -> the oracle's literal _version
+    return changes_df(spark, wh, "orders_cdc", key="o_orderkey", start_version=snaps[0]).select(
+        F.col("_version").cast("long"),
+        "_op",
+        F.col("o_orderkey").cast("long"),
+        "o_orderstatus",
     )
 
 
@@ -876,6 +921,35 @@ SELECT DISTINCT doc_id, mn AS fp_hash FROM wins
 WHERE i <= greatest(n - {D.WINNOW_W} + 1, 1)"""
 
 
+# CDC changelog: the oracle re-derives the v1 -> v2 diff relationally from
+# the same deterministic mod-class snapshot definitions the Spark query
+# materializes through the AtomicTable version chain; _version is literal 2
+# (fresh table: snapshots are exactly [1, 2], asserted in q_cdc_changes)
+ORACLE_SQL["cdc_changes"] = """
+WITH v1 AS (
+  SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey % 40 = 0
+),
+v2 AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 80 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus
+  FROM orders WHERE o_orderkey % 40 = 0 AND o_orderkey % 120 <> 0
+  UNION ALL
+  SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey % 40 = 20
+)
+SELECT CAST(2 AS BIGINT) AS _version, 'insert' AS _op,
+       CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderstatus
+FROM v2 WHERE o_orderkey NOT IN (SELECT o_orderkey FROM v1)
+UNION ALL
+SELECT 2, 'delete', v1.o_orderkey, v1.o_orderstatus
+FROM v1 WHERE o_orderkey NOT IN (SELECT o_orderkey FROM v2)
+UNION ALL
+SELECT 2, 'update_pre', a.o_orderkey, a.o_orderstatus
+FROM v1 a JOIN v2 b USING (o_orderkey) WHERE a.o_orderstatus <> b.o_orderstatus
+UNION ALL
+SELECT 2, 'update_post', b.o_orderkey, b.o_orderstatus
+FROM v1 a JOIN v2 b USING (o_orderkey) WHERE a.o_orderstatus <> b.o_orderstatus"""
+
+
 def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bfs_frontier": q_bfs_frontier,
@@ -912,6 +986,7 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_corpus_stats": q_clean_corpus_stats,
         "audio_features": q_audio_features,
         "video_frame_sample": q_video_frame_sample,
+        "cdc_changes": q_cdc_changes,
     }
 
 

@@ -73,3 +73,22 @@ def test_expired_start_version_raises(tmp_path):
     # surviving checkpoints still work
     pdf = changes_pdf(t, key="job_id", start_version=snapshots(t)[0])
     assert (pdf["_op"] == "insert").sum() == 2
+
+
+def test_unknown_start_version_raises(tmp_path):
+    """start_version BEYOND the newest snapshot (corrupted checkpoint /
+    rolled-back or rebuilt table) must raise, not silently return an empty
+    changeset that hides every future row from the consumer. A
+    start_version == newest snapshot stays a legal empty read."""
+    import pytest
+
+    wh = str(tmp_path)
+    led = JobLedger(wh)
+    led.submit("J1", "c", "u1", 1, now=100.0)
+    t = AtomicTable(wh, "job_ledger")
+    newest = snapshots(t)[-1]
+    assert changes_pdf(t, key="job_id", start_version=newest).empty
+    with pytest.raises(ValueError, match="not a committed snapshot"):
+        changes_pdf(t, key="job_id", start_version=newest + 7)
+    with pytest.raises(ValueError, match="not a committed snapshot"):
+        changes_pdf(AtomicTable(wh, "never_written"), key="job_id", start_version=3)

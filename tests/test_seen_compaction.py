@@ -138,3 +138,23 @@ def test_recheck_scan_is_bucket_pruned(spark, corpus_1k, tmp_path):
         assert sorted(r["seen_bucket"] for r in pruned.select("seen_bucket").distinct().collect()) <= [2, 5]
         if label == "deltas":
             eng.compact_seen("c4")
+
+
+def test_seen_compact_pointer_is_monotonic(spark, corpus_1k, tmp_path):
+    """A stale/zombie compactor must never flip the pointer BACKWARD: after
+    vacuum has observed a newer pointer, rows from the intermediate rounds
+    exist only in the newer compaction dir — a backward flip would hand
+    vacuum that dir as 'superseded' and lose seen rows permanently."""
+    eng, spec, seed_i = _engine(spark, corpus_1k, tmp_path, compact_seen_every=None)
+    eng.run_job("cm", C.url_of(seed_i, spec), 3)
+    store = eng.store("cm")
+    res = eng.compact_seen("cm")
+    assert res["compacted"]
+    cur = store.read_seen_compact()
+    # zombie writes with an OLDER upto -> refused, pointer unchanged
+    assert store.set_seen_compact(cur["upto"] - 1, "seen_compact/zombie") is False
+    # same-upto race: first publisher wins
+    assert store.set_seen_compact(cur["upto"], "seen_compact/loser") is False
+    assert store.read_seen_compact() == cur
+    # a genuinely newer generation still flips
+    assert store.set_seen_compact(cur["upto"] + 1, cur["path"]) is True

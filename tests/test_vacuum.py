@@ -39,8 +39,8 @@ def test_vacuum_preserves_results_and_resume(spark, corpus_1k, tmp_path):
     # reader-visible state unchanged
     assert eng.client_payload("v", 3) == before == crawl(seed_i, 3, spec, politeness=pol).levels_sorted()
     # live bloom blobs all still present
-    for b, p in store.bloom_blobs().items():
-        assert os.path.exists(p), b
+    for b, paths in store.bloom_blobs().items():
+        assert paths and all(os.path.exists(p) for p in paths), b
     # vacuuming again is a no-op
     again = store.vacuum()
     assert again == {
