@@ -68,7 +68,13 @@ def _one_crawl_trial(spark, spec, corpus_path):
     wh = os.path.join(wh_root, f"bench_wh_{os.getpid()}_{time.monotonic_ns()}")
     eng = FrontierEngine(
         spark, wh, corpus_path, spec,
-        EngineConfig(use_bloom=True, verify_payloads=True, detailed_metrics=False),
+        EngineConfig(
+            use_bloom=True, verify_payloads=True, detailed_metrics=False,
+            # verify is the drain's longest phase: overlap round r's verify
+            # with round r+1's compute (every row still verified; stats in
+            # the per-round verify.json sidecar)
+            pipeline_verify=True,
+        ),
     )
     seeds = sorted({url_of(xxh64(f"bench:seed:{j}") % spec.n, spec) for j in range(CRAWL_SEEDS)})
     # seed the frontier (job admission/bootstrap), then time the DRAIN —

@@ -44,7 +44,9 @@ from typing import List, Optional
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..catalog.tables import JobStateStore
+import json
+
+from ..catalog.tables import JobStateStore, _atomic_write
 from ..fixtures import corpus as C
 from ..functions import bloom as B
 from ..functions import urls as U
@@ -88,6 +90,17 @@ class EngineConfig:
     compact_seen_every: Optional[int] = 16
     bloom: B.BloomParams = field(default_factory=B.BloomParams)
     verify_payloads: bool = False  # per-row PSNR/phash/caption invariants
+    # pipeline payload verification ACROSS rounds: round r's verify job
+    # (decode + PSNR/phash/caption, the drain's longest phase) keeps running
+    # while round r+1 admits/extracts/writes, and is awaited one round
+    # later — per-round wall becomes max(verify, rest) instead of their
+    # sum. Every admitted row is still verified; stats land in the round
+    # dir's verify.json AFTER the round's commit instead of inside it, so
+    # a driver killed between a commit and its verify finalize leaves that
+    # round's stats file absent (the rows themselves are committed and the
+    # resume path is unchanged) — the synchronous default keeps stats
+    # inside commit.json with no such window.
+    pipeline_verify: bool = False
 
 
 @dataclass
@@ -117,6 +130,9 @@ class FrontierEngine:
         self.corpus_path = corpus_path
         self.spec = spec
         self.cfg = cfg or EngineConfig()
+        # at most ONE in-flight pipelined verify: (round, future, persisted
+        # frames kept alive until the verify job has consumed them)
+        self._verify_inflight: Optional[tuple] = None
 
     # ------------------------------------------------------------ helpers
     def store(self, job_id: str) -> JobStateStore:
@@ -367,6 +383,42 @@ class FrontierEngine:
             return [(row["slice"], row["bucket"], row["n"]) for row in stats]
         return [(row["bucket"], row["n"]) for row in stats]
 
+    # ------------------------------------------------------------ pipelined verify
+    def _finalize_verify(self, store: JobStateStore) -> None:
+        """Await the in-flight pipelined verify (if any), release its
+        persisted frames, and write its stats as ``verify.json`` in the
+        (already committed) round dir."""
+        if self._verify_inflight is None:
+            return
+        r0, fut, frames = self._verify_inflight
+        self._verify_inflight = None
+        stats = fut.result()
+        for df_ in frames:
+            df_.unpersist()
+        if stats:
+            _atomic_write(
+                os.path.join(store.round_dir(r0), "verify.json"),
+                json.dumps(
+                    {k: (float(v) if v is not None else None) for k, v in stats.items()}
+                ).encode(),
+            )
+
+    def payload_stats(self, job_id: str) -> dict:
+        """round -> payload-verification stats, from commit.json (synchronous
+        mode) or the pipelined mode's verify.json sidecar."""
+        store = self.store(job_id)
+        out: dict = {}
+        for r in store.committed_rounds():
+            stats = store.read_commit(r).get("payload")
+            if stats is None:
+                try:
+                    with open(os.path.join(store.round_dir(r), "verify.json")) as f:
+                        stats = json.load(f)
+                except FileNotFoundError:
+                    continue
+            out[r] = stats
+        return out
+
     # ------------------------------------------------------------ compaction
     def compact_seen(self, job_id: str) -> dict:
         """Merge all current seen components (previous compaction + later
@@ -433,6 +485,7 @@ class FrontierEngine:
 
         while not info.get("done"):
             if max_rounds is not None and rounds_done >= max_rounds:
+                self._finalize_verify(store)  # drain the pipelined verify
                 return {"job_id": job_id, "done": False, "last_round": last}
             r = last + 1
             t0 = time.monotonic()
@@ -448,6 +501,7 @@ class FrontierEngine:
             if on_round is not None:
                 on_round(stats)
 
+        self._finalize_verify(store)  # last round's pipelined verify
         return {
             "job_id": job_id,
             "done": True,
@@ -633,11 +687,25 @@ class FrontierEngine:
                 [self._rel(store, os.path.join(root, f"due={due}")), d, per_due[due], due]
                 for due in sorted(per_due)
             ]
-        for df_ in persisted:
-            df_.unpersist()
-        t = _mark("writes_ms", t)
-        payload_stats = payload_future.result() if payload_future is not None else None
-        _mark("fetch_verify_wait_ms", t)
+        payload_stats = None
+        if self.cfg.pipeline_verify:
+            # this round's verify keeps running through the NEXT round's
+            # compute; await the PREVIOUS round's instead (it has had a full
+            # round of overlap), so per-round wall is max(verify, rest),
+            # not their sum. This round's persisted frames stay alive until
+            # its verify finalizes.
+            t = _mark("writes_ms", t)
+            self._finalize_verify(store)
+            if payload_future is None:
+                for df_ in persisted:
+                    df_.unpersist()
+            _mark("fetch_verify_wait_ms", t)
+        else:
+            for df_ in persisted:
+                df_.unpersist()
+            t = _mark("writes_ms", t)
+            payload_stats = payload_future.result() if payload_future is not None else None
+            _mark("fetch_verify_wait_ms", t)
 
         consumed_ids = {id(e) for e in consumed}
         next_manifest = [e for e in manifest if id(e) not in consumed_ids]
@@ -660,6 +728,10 @@ class FrontierEngine:
             info["payload"] = {k: (float(v) if v is not None else None) for k, v in payload_stats.items()}
         info["phases"] = phases
         store.commit_round(r, info, touched_blooms=touched)
+        if self.cfg.pipeline_verify and payload_future is not None:
+            # stash AFTER commit: the finalize (next round / job end) writes
+            # the stats sidecar into this round's already-committed dir
+            self._verify_inflight = (r, payload_future, persisted)
         return RoundStats(
             round=r,
             depth=int(d),

@@ -236,3 +236,42 @@ def test_fused_dedup_across_arrow_batches(spark, corpus_1k, tmp_path):
     assert len(got) == len(set(got)), "duplicates leaked across Arrow batches"
     assert set(got) == set(distinct_urls) - seen_urls
     assert deduped.count() == len(distinct_urls)
+
+
+def test_pipelined_verify_same_stats_and_results(spark, corpus_1k, tmp_path):
+    """pipeline_verify overlaps round r's payload verification with round
+    r+1's compute; every admitted row is still verified — the per-round
+    stats (landing in verify.json after the commit) must equal synchronous
+    mode's commit-embedded stats, and the crawl itself is unchanged."""
+    spec, _ = corpus_1k
+    seed_i = pick_seed(spec)
+    sync = engine_for(
+        spark, tmp_path / "a", corpus_1k, EngineConfig(use_bloom=True, verify_payloads=True)
+    )
+    piped = engine_for(
+        spark, tmp_path / "b", corpus_1k,
+        EngineConfig(use_bloom=True, verify_payloads=True, pipeline_verify=True),
+    )
+    rs = sync.run_job("pay", C.url_of(seed_i, spec), 3)
+    rp = piped.run_job("pay", C.url_of(seed_i, spec), 3)
+    assert rp["done"] and rp["n_seen"] == rs["n_seen"]
+    assert sync.client_payload("pay", 3) == piped.client_payload("pay", 3)
+
+    ss, sp = sync.payload_stats("pay"), piped.payload_stats("pay")
+    assert ss and sp == ss  # same rounds, same invariant counts, same PSNR
+    for s in sp.values():
+        assert s["n"] == s["n_pixels_ok"] == s["n_phash_ok"] == s["n_caption_ok"]
+        assert s["min_psnr"] >= 40.0
+    # pipelined stats live in the post-commit sidecar, not in commit.json
+    store = piped.store("pay")
+    assert all(store.read_commit(r).get("payload") is None for r in store.committed_rounds())
+
+    # interrupt/resume drains the in-flight verify at the cut point too
+    piped2 = engine_for(
+        spark, tmp_path / "c", corpus_1k,
+        EngineConfig(use_bloom=True, verify_payloads=True, pipeline_verify=True),
+    )
+    piped2.run_job("res", C.url_of(seed_i, spec), 3, max_rounds=1)
+    assert 1 in piped2.payload_stats("res")  # finalized before the early return
+    piped2.run_job("res", C.url_of(seed_i, spec), 3)
+    assert piped2.payload_stats("res") == ss
