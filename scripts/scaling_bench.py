@@ -77,7 +77,11 @@ def main():
         a, b = p8.get(k, 0) / 1000, p32.get(k, 0) / 1000
         speedup = a / b if b else float("inf")
         phase_rows.append(f"| {k} | {a:.1f} | {b:.1f} | {speedup:.2f}× | {speedup/4:.2f} |")
-    decode_speedup = (p8.get("fetch_verify_wait_ms", 0) or 1) / (p32.get("fetch_verify_wait_ms", 1) or 1)
+    # bench.py runs the drain with pipeline_verify: round r's decode+verify
+    # overlaps round r+1's compute, so fetch_verify_wait_ms is residual wait
+    # (~0 when the overlap fully hides it) and phases no longer sum to wall.
+    # The extract stage is the representative measured compute phase.
+    extract_speedup = (p8.get("extract_dedup_ms", 0) or 1) / (p32.get("extract_dedup_ms", 1) or 1)
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     md = f"""# BENCH/BASELINE.md — scaling evidence ({date.today().isoformat()})
 
@@ -127,9 +131,13 @@ and a resume bit-identical.
 
 ## Reading the numbers
 
-The compute phases scale: the dominant real work at the 10^10 target —
-payload fetch + decode + verify — speeds up {decode_speedup:.2f}× with 4×
-cores. What does not scale in this sandbox is what a single box shares:
+The compute phases scale: the extraction+dedup stage — the dominant
+measured main-thread compute — speeds up {extract_speedup:.2f}× with 4×
+cores, and payload decode+verify (the heaviest real work at the 10^10
+target) is PIPELINED across rounds since r4: round r's verify overlaps
+round r+1's compute, so its phase row shows residual wait (~0 when fully
+hidden) and the per-phase rows no longer sum to wall clock. What does not
+scale in this sandbox is what a single box shares:
 shuffle serialization and parquet commit I/O run through one disk/page
 cache and one driver JVM regardless of "cluster size", so the write-side
 phases plateau and drag the end-to-end figure below the target. On a real
