@@ -14,7 +14,7 @@ feature outputs are narrow numeric columns safe to shuffle/aggregate.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 
 from ..fixtures import corpus as C
 from ..functions.images import decode_any
@@ -54,6 +54,59 @@ def image_features(corpus: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return corpus.select("image_id", "bytes").mapInPandas(feats, schema=FEATURES_SCHEMA)
+
+
+def phash_neardup_pairs(
+    imgs: DataFrame, max_hamming: int = 3, n_bands: int = 4, id_col: str = "image_id"
+) -> DataFrame:
+    """Near-duplicate IMAGE pairs by perceptual-hash Hamming distance — the
+    block-permutation scheme of Manku/Jain/Das Sarma (WWW'07, simhash dedup
+    at Google scale) specialized to 64-bit phashes: split the hash into
+    `n_bands` contiguous blocks; any pair within Hamming distance
+    n_bands-1 must agree EXACTLY on at least one block (pigeonhole), so
+    candidates are one equi-join per band on the block value and only
+    (id, band, key) rides the candidate shuffle — never pixels, never
+    all-pairs. Exact verify joins the two phashes back by id and filters
+    bit_count(xor) <= max_hamming (must be <= n_bands-1 for the guarantee).
+    Input needs (id_col, phash:long); output (a_id, b_id, hamming).
+
+    100-TB shape: band buckets hold ~N/2^(64/n_bands) ids; the verify join
+    is bounded by what banding blocked together (same shape as
+    similarity.embedding_neardup_pairs and dedup.minhash_lsh_pairs)."""
+    assert max_hamming <= n_bands - 1, "guarantee needs max_hamming <= n_bands-1"
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    bands = imgs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("phash"), b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, ["band", "key"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("a_id"), F.col(f"b.{id_col}").alias("b_id"))
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    ph = imgs.select(F.col(id_col), F.col("phash"))
+    return (
+        cand.join(ph.select(F.col(id_col).alias("a_id"), F.col("phash").alias("pa")), "a_id")
+        .join(ph.select(F.col(id_col).alias("b_id"), F.col("phash").alias("pb")), "b_id")
+        .withColumn("hamming", F.bit_count(F.col("pa").bitwiseXOR(F.col("pb"))).cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a_id", "b_id", "hamming")
+    )
 
 
 RESIZE_SCHEMA = "image_id string, bytes binary, w int, h int"

@@ -374,6 +374,56 @@ def q_video_frame_sample(spark, sf_dir):
     )
 
 
+# image near-dup plant: IMG_N base images from the corpus pixel generator
+# plus IMG_PLANT perturbed copies (copy j of base j*32, additive noise in
+# [-IMG_AMP, IMG_AMP]); at IMG_AMP=4 most copies land at phash Hamming 0-2
+# and at least one at 4 — exercising BOTH sides of the <=3 verify filter —
+# while the 512 base images have zero natural pairs within 3
+IMG_N = 512
+IMG_PLANT = 16
+IMG_AMP = 4
+
+
+def _neardup_image_pixels(i: int, spec):
+    import numpy as np
+
+    from .fixtures import corpus as C
+
+    if i < IMG_N:
+        return C.raw_pixels(i, spec)
+    base = C.raw_pixels((i - IMG_N) * 32, spec)
+    rng = np.random.Generator(np.random.PCG64(777000 + i))
+    noise = rng.integers(-IMG_AMP, IMG_AMP + 1, size=base.shape)
+    return np.clip(base.astype(np.int16) + noise, 0, 255).astype(np.uint8)
+
+
+def _make_neardup_image_row(i: int, spec) -> dict:
+    from .fixtures import corpus as C
+
+    return {
+        "image_id": f"img{i:05d}",
+        "bytes": C.encode_image(_neardup_image_pixels(i, spec), "png"),
+    }
+
+
+def q_image_neardup(spark, sf_dir):
+    """Image near-dup pairs over DECODED payloads: distributed generation →
+    lossless FPNG encode → image_features (decode + 8×8-DCT phash) →
+    Manku-banded Hamming-<=3 pairing (operators/multimodal.py). The oracle
+    computes the phashes generator-side (pixels → phash64, never touching
+    the codec) and re-derives the banding + bit_count verify relationally —
+    the two paths meet only at the phash values."""
+    from .fixtures import corpus as C
+    from .operators.multimodal import image_features, phash_neardup_pairs
+
+    spec = C.CorpusSpec(n=IMG_N + IMG_PLANT)
+    df = _gen_distributed(
+        spark, IMG_N + IMG_PLANT, lambda i: _make_neardup_image_row(i, spec), "image_id"
+    )
+    ph = image_features(df).select("image_id", "phash")
+    return phash_neardup_pairs(ph, max_hamming=3, n_bands=4)
+
+
 def q_windowed_metrics(spark, sf_dir):
     from .streaming.windows import windowed_counts
 
@@ -790,8 +840,40 @@ def _video_oracle_sql() -> str:
     )
 
 
+def _image_neardup_oracle_sql() -> str:
+    """Expected phashes computed generator-side (pixels → phash64, no codec
+    round-trip); the banding + Hamming verify is re-derived relationally:
+    band key b = (phash >> 16b) & 0xFFFF (the & masks off arithmetic-shift
+    sign bits, so signed BIGINT shifts match Spark's shiftrightunsigned),
+    candidates share any band, verify bit_count(xor) <= 3."""
+    from .fixtures import corpus as C
+
+    spec = C.CorpusSpec(n=IMG_N + IMG_PLANT)
+    vals = ", ".join(
+        f"('img{i:05d}', CAST({int(C.phash64(_neardup_image_pixels(i, spec)))} AS BIGINT))"
+        for i in range(IMG_N + IMG_PLANT)
+    )
+    return f"""
+WITH ph AS (SELECT * FROM (VALUES {vals}) AS t(image_id, phash)),
+bands AS (
+  SELECT image_id, b.b AS band, (phash >> (b.b * 16)) & 65535 AS key
+  FROM ph, (VALUES (0), (1), (2), (3)) AS b(b)
+),
+cand AS (
+  SELECT DISTINCT a.image_id AS a_id, b.image_id AS b_id
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+  WHERE a.image_id < b.image_id
+)
+SELECT a_id, b_id, CAST(bit_count(xor(pa.phash, pb.phash)) AS INT) AS hamming
+FROM cand
+JOIN ph pa ON pa.image_id = cand.a_id
+JOIN ph pb ON pb.image_id = cand.b_id
+WHERE bit_count(xor(pa.phash, pb.phash)) <= 3"""
+
+
 ORACLE_SQL["audio_features"] = _audio_oracle_sql()
 ORACLE_SQL["video_frame_sample"] = _video_oracle_sql()
+ORACLE_SQL["image_neardup"] = _image_neardup_oracle_sql()
 
 # connected components as a recursive transitive closure over the SAME
 # verified-pair SQL (fine at oracle scale; the Spark side is the
@@ -987,6 +1069,7 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features": q_audio_features,
         "video_frame_sample": q_video_frame_sample,
         "cdc_changes": q_cdc_changes,
+        "image_neardup": q_image_neardup,
     }
 
 

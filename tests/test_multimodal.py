@@ -107,3 +107,41 @@ def test_unknown_formats_fail_with_clear_gate(spark, op, idcol):
         op(df).collect()
     msg = str(ei.value)
     assert "NotImplementedError" in msg or "not an FVID" in msg or "ValueError" in msg
+
+
+def test_phash_neardup_recall_and_verify(spark):
+    """Banded phash pairing (Manku blocks): recall vs the brute-force
+    all-pairs oracle is total for hamming <= n_bands-1 (pigeonhole), the
+    verify stage admits no pair beyond the threshold, and a banded
+    CANDIDATE beyond the threshold (planted at hamming 4) is rejected."""
+    import itertools
+
+    import pandas as pd
+
+    from distributed_web_crawler_spark.operators.multimodal import phash_neardup_pairs
+
+    # hand-built hash family around a base value: controlled hamming dists
+    base = 0x0123456789ABCDEF
+    rows = {
+        "a": base,
+        "b": base ^ 0b1,                      # hamming 1
+        "c": base ^ 0b111,                    # hamming 3 (vs a)
+        "d": base ^ (1 | 1 << 17 | 1 << 33 | 1 << 49),  # 4 bits, one per band: shares NO band with a
+        "e": base ^ 0b1111,                   # hamming 4, all in band 0 -> banded candidate, must be rejected
+        "f": 0x7EDCBA9876543210,              # far away
+    }
+    df = spark.createDataFrame(
+        pd.DataFrame({"image_id": list(rows), "phash": list(rows.values())})
+    )
+    got = {
+        (r["a_id"], r["b_id"]): r["hamming"]
+        for r in phash_neardup_pairs(df, max_hamming=3, n_bands=4).collect()
+    }
+    ham = lambda x, y: bin((x ^ y) & (2**64 - 1)).count("1")  # noqa: E731
+    want = {
+        tuple(sorted((i, j))): ham(rows[i], rows[j])
+        for i, j in itertools.combinations(rows, 2)
+        if ham(rows[i], rows[j]) <= 3
+    }
+    assert got == want  # total recall within the guarantee, nothing extra
+    assert ("a", "e") not in got and ("d", "a") not in got
