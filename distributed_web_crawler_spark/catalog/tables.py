@@ -218,6 +218,15 @@ class JobStateStore:
                 if p != live_compact and not fresh:
                     shutil.rmtree(p, ignore_errors=True)
                     stats["stale_compacts"] += 1
+        # superseded pointer files (append-only set_seen_compact scheme):
+        # readers take the max upto, so dropping lower ones never changes
+        # the visible pointer
+        if sc is not None:
+            for nm in os.listdir(self.dir):
+                if nm.startswith("seen_compact_v") and nm.endswith(".json"):
+                    with open(os.path.join(self.dir, nm)) as f:
+                        if json.load(f)["upto"] < sc["upto"]:
+                            os.unlink(os.path.join(self.dir, nm))
         if sc is not None:
             for r in self.committed_rounds():
                 np_ = self.new_path(r)
@@ -251,31 +260,56 @@ class JobStateStore:
         ]
 
     def read_seen_compact(self) -> Optional[dict]:
-        """{"upto": r, "path": relpath} of the live compaction, or None."""
+        """{"upto": r, "path": relpath} of the live compaction, or None —
+        the HIGHEST-upto published pointer file (see set_seen_compact's
+        append-only scheme); the legacy single seen_compact.json (pre-r4
+        stores) participates with its own upto."""
+        best = None
         try:
             with open(os.path.join(self.dir, "seen_compact.json")) as f:
-                return json.load(f)
+                best = json.load(f)
         except FileNotFoundError:
-            return None
+            pass
+        if os.path.isdir(self.dir):
+            for nm in os.listdir(self.dir):
+                if nm.startswith("seen_compact_v") and nm.endswith(".json"):
+                    with open(os.path.join(self.dir, nm)) as f:
+                        cand = json.load(f)
+                    if best is None or cand["upto"] > best["upto"]:
+                        best = cand
+        return best
 
     def set_seen_compact(self, upto: int, relpath: str) -> bool:
-        """Atomically flip the seen-compaction pointer — MONOTONICALLY.
+        """Publish a seen-compaction pointer — MONOTONIC BY CONSTRUCTION.
         A stale/zombie compactor must never move the pointer BACKWARD: once
         vacuum has observed a newer pointer it may have deleted the deltas
         in (old_upto, new_upto], which then exist only in the newer
         compaction dir — a backward flip would orphan them and a later
         vacuum would delete that dir as superseded, losing seen rows
-        permanently. Refusing upto <= current makes any interleaving safe
-        (the loser's staging dir ages out via vacuum); equal-upto ties keep
-        the first-published generation. Returns whether the flip was
-        applied."""
+        permanently. A read-check-overwrite guard is not enough (two
+        compactors can both pass the check and the stale one wins the
+        overwrite), so the pointer is APPEND-ONLY: each generation claims
+        its own ``seen_compact_v{upto}.json`` via ``os.link`` (EEXIST ⇒ a
+        concurrent compactor already owns that upto — first writer wins)
+        and readers take the highest upto. No writer ever touches another
+        generation's file, so no interleaving can move the visible pointer
+        backward. Superseded pointer files are swept by vacuum with their
+        dirs. Returns whether this attempt published."""
         cur = self.read_seen_compact()
         if cur is not None and int(upto) <= int(cur["upto"]):
+            return False  # fast path; the os.link below is the real gate
+        final = os.path.join(self.dir, f"seen_compact_v{int(upto):010d}.json")
+        import uuid
+
+        tmp = os.path.join(self.dir, f".{os.path.basename(final)}.{uuid.uuid4().hex[:12]}.tmp")
+        with open(tmp, "w") as f:
+            json.dump({"upto": int(upto), "path": relpath}, f)
+        try:
+            os.link(tmp, final)
+        except FileExistsError:
             return False
-        _atomic_write(
-            os.path.join(self.dir, "seen_compact.json"),
-            json.dumps({"upto": int(upto), "path": relpath}).encode(),
-        )
+        finally:
+            os.unlink(tmp)
         return True
 
     def metrics_paths(self) -> List[str]:
@@ -298,7 +332,11 @@ class JobStateStore:
             by_round[rr] = sorted(os.listdir(d)) if os.path.isdir(d) else []
         out: Dict[int, List[str]] = {}
         for b, rr in manifest.items():
-            prefix = f"bucket_{int(b):05d}"
+            # match 'bucket_<b>.' exactly (names: bucket_00003.bin,
+            # bucket_00003.c2.bin) — a bare startswith(prefix) would OR
+            # foreign buckets' bits in once ids outgrow the 5-digit padding
+            # (bucket_10010 matching bucket_100100.bin)
+            prefix = f"bucket_{int(b):05d}."
             out[int(b)] = [
                 os.path.join(self.round_dir(rr), "blooms", f)
                 for f in by_round[rr]

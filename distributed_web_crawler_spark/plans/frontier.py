@@ -191,7 +191,12 @@ class FrontierEngine:
         if self.cfg.robots is not None:
             df = df.filter(~blocked_expr(F.col("url")))
         df = df.withColumn("depth", F.lit(0)).select("url", "host", "url_hash", "seen_bucket", "depth")
-        stats = self._write_bucketed(store, store.new_path(0), df, bloom_round=0)
+        # len(seeds) bounds the write for free: a 10^10-scenario whole-
+        # frontier seed batch must hit the same max_group_rows chunk guard
+        # as round writes
+        stats = self._write_bucketed(
+            store, store.new_path(0), df, bloom_round=0, approx_rows=len(seeds)
+        )
         n = sum(s[1] for s in stats)
         manifest = [[self._rel(store, store.new_path(0)), 0, n, 0]] if n > 0 else []
         store.commit_round(
@@ -392,9 +397,23 @@ class FrontierEngine:
             return
         r0, fut, frames = self._verify_inflight
         self._verify_inflight = None
-        stats = fut.result()
-        for df_ in frames:
-            df_.unpersist()
+        try:
+            stats = fut.result()
+        except Exception as e:
+            # round r0 is ALREADY COMMITTED (the pipelined trade, see
+            # EngineConfig.pipeline_verify): surface the failure attributed
+            # to ITS round, not the round whose finalize happened to await
+            # it — the frontier rows are durable and correct (verification
+            # checks payload invariants, it does not gate admission), but
+            # the round must be re-verified before its payloads are trusted
+            raise RuntimeError(
+                f"pipelined payload verification FAILED for already-committed "
+                f"round {r0}: its rows are durable but unverified — re-run "
+                f"verification for round {r0} before trusting its payloads"
+            ) from e
+        finally:
+            for df_ in frames:
+                df_.unpersist()
         if stats:
             _atomic_write(
                 os.path.join(store.round_dir(r0), "verify.json"),

@@ -451,24 +451,32 @@ def q_cdc_changes(spark, sf_dir):
     from .catalog.tables import AtomicTable
     from .plans.ledger import _PandasTable
 
+    import shutil
+
     base = pd.read_parquet(
         os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_orderstatus"]
     )
     wh = tempfile.mkdtemp(prefix="cdc_wh_")
-    t = _PandasTable(wh, "orders_cdc", {"o_orderkey": "int64", "o_orderstatus": "object"})
-    v1 = base[base.o_orderkey % 40 == 0].sort_values("o_orderkey").reset_index(drop=True)
-    t.write(v1)
-    v2 = v1[v1.o_orderkey % 120 != 0].copy()
-    v2.loc[v2.o_orderkey % 80 == 0, "o_orderstatus"] = "X"
-    v2 = (
-        pd.concat([v2, base[base.o_orderkey % 40 == 20]])
-        .sort_values("o_orderkey")
-        .reset_index(drop=True)
-    )
-    t.write(v2)
-    snaps = snapshots(AtomicTable(wh, "orders_cdc"))
-    assert snaps == [1, 2], snaps  # fresh dir -> the oracle's literal _version
-    return changes_df(spark, wh, "orders_cdc", key="o_orderkey", start_version=snaps[0]).select(
+    try:
+        t = _PandasTable(wh, "orders_cdc", {"o_orderkey": "int64", "o_orderstatus": "object"})
+        v1 = base[base.o_orderkey % 40 == 0].sort_values("o_orderkey").reset_index(drop=True)
+        t.write(v1)
+        v2 = v1[v1.o_orderkey % 120 != 0].copy()
+        v2.loc[v2.o_orderkey % 80 == 0, "o_orderstatus"] = "X"
+        v2 = (
+            pd.concat([v2, base[base.o_orderkey % 40 == 20]])
+            .sort_values("o_orderkey")
+            .reset_index(drop=True)
+        )
+        t.write(v2)
+        snaps = snapshots(AtomicTable(wh, "orders_cdc"))
+        assert snaps == [1, 2], snaps  # fresh dir -> the oracle's literal _version
+        # changes_df materializes the diff driver-side (createDataFrame from
+        # pandas), so the scratch warehouse can be removed immediately
+        df = changes_df(spark, wh, "orders_cdc", key="o_orderkey", start_version=snaps[0])
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+    return df.select(
         F.col("_version").cast("long"),
         "_op",
         F.col("o_orderkey").cast("long"),

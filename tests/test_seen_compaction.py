@@ -156,5 +156,19 @@ def test_seen_compact_pointer_is_monotonic(spark, corpus_1k, tmp_path):
     # same-upto race: first publisher wins
     assert store.set_seen_compact(cur["upto"], "seen_compact/loser") is False
     assert store.read_seen_compact() == cur
+    # the TOCTOU case the append-only scheme exists for: a zombie that
+    # already passed the fast-path check and lands its pointer FILE anyway
+    # (simulated by writing it directly) cannot move the visible pointer —
+    # readers take the highest upto, nobody overwrites anybody
+    import json as _json
+    import os as _os
+
+    zombie = _os.path.join(store.dir, f"seen_compact_v{cur['upto'] - 1:010d}.json")
+    with open(zombie, "w") as f:
+        _json.dump({"upto": cur["upto"] - 1, "path": "seen_compact/zombie"}, f)
+    assert store.read_seen_compact() == cur
+    # vacuum sweeps the superseded pointer file; the visible pointer stays
+    store.vacuum(staging_age_s=0.0)
+    assert not _os.path.exists(zombie) and store.read_seen_compact() == cur
     # a genuinely newer generation still flips
     assert store.set_seen_compact(cur["upto"] + 1, cur["path"]) is True
