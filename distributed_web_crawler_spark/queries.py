@@ -424,6 +424,52 @@ def q_image_neardup(spark, sf_dir):
     return phash_neardup_pairs(ph, max_hamming=3, n_bands=4)
 
 
+IMG_FEAT_N = 128  # image-feature/resize query corpus (base images only)
+
+
+def q_image_features(spark, sf_dir):
+    """Image decode + feature extraction over the full Spark path
+    (distributed generation → FPNG encode → decode → channel means / luma /
+    DCT phash); the oracle computes the same features straight from the
+    generator's pixel arrays (no codec round-trip)."""
+    from .fixtures import corpus as C
+    from .operators.multimodal import image_features
+
+    spec = C.CorpusSpec(n=IMG_FEAT_N)
+    df = _gen_distributed(
+        spark, IMG_FEAT_N, lambda i: _make_neardup_image_row(i, spec), "image_id"
+    )
+    f = image_features(df)
+    return f.select(
+        "image_id",
+        "w",
+        "h",
+        F.round("mean_r", 4).alias("mean_r4"),
+        F.round("mean_g", 4).alias("mean_g4"),
+        F.round("mean_b", 4).alias("mean_b4"),
+        F.round("luma", 4).alias("luma4"),
+        "phash",
+    )
+
+
+def q_image_resize(spark, sf_dir):
+    """Nearest-neighbor batch resize to 16×16, re-encoded lossless; the
+    oracle resizes the generator's pixel arrays with the same index rule
+    driver-side and compares payload sha256 (decode(encode(x)) == x for
+    the lossless fake codec, so the codec round-trip is the only thing the
+    Spark path adds)."""
+    from .fixtures import corpus as C
+    from .operators.multimodal import resize_images
+
+    spec = C.CorpusSpec(n=IMG_FEAT_N)
+    df = _gen_distributed(
+        spark, IMG_FEAT_N, lambda i: _make_neardup_image_row(i, spec), "image_id"
+    )
+    return resize_images(df, 16, 16).select(
+        "image_id", "w", "h", F.sha2(F.col("bytes"), 256).alias("payload_sha")
+    )
+
+
 def q_windowed_metrics(spark, sf_dir):
     from .streaming.windows import windowed_counts
 
@@ -879,9 +925,71 @@ JOIN ph pb ON pb.image_id = cand.b_id
 WHERE bit_count(xor(pa.phash, pb.phash)) <= 3"""
 
 
+def _r4(x: float) -> float:
+    """Spark's F.round semantics (BigDecimal HALF_UP over the double's
+    shortest decimal representation) — python's built-in round is
+    HALF_EVEN and diverges on the exact .xxxN5 halfway values that pixel
+    means (integers / power-of-two pixel counts) hit routinely."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(float(x))).quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP))
+
+
+def _image_features_oracle_sql() -> str:
+    """Expected features computed from the generator's pixel arrays (same
+    numpy ops, no codec round-trip) — VALUES table."""
+    from .fixtures import corpus as C
+
+    spec = C.CorpusSpec(n=IMG_FEAT_N)
+    vals = []
+    for i in range(IMG_FEAT_N):
+        arr = _neardup_image_pixels(i, spec)
+        m = arr.reshape(-1, 3).mean(axis=0)
+        luma = 0.2126 * m[0] + 0.7152 * m[1] + 0.0722 * m[2]
+        vals.append(
+            f"('img{i:05d}', {arr.shape[1]}, {arr.shape[0]}, {_r4(m[0])!r}, "
+            f"{_r4(m[1])!r}, {_r4(m[2])!r}, {_r4(luma)!r}, "
+            f"CAST({int(C.phash64(arr))} AS BIGINT))"
+        )
+    return (
+        "SELECT image_id, CAST(w AS INT) AS w, CAST(h AS INT) AS h, "
+        "CAST(mean_r4 AS DOUBLE) AS mean_r4, CAST(mean_g4 AS DOUBLE) AS mean_g4, "
+        "CAST(mean_b4 AS DOUBLE) AS mean_b4, CAST(luma4 AS DOUBLE) AS luma4, phash "
+        "FROM (VALUES " + ", ".join(vals)
+        + ") AS t(image_id, w, h, mean_r4, mean_g4, mean_b4, luma4, phash)"
+    )
+
+
+def _image_resize_oracle_sql() -> str:
+    """Expected resized payload sha256: the same nearest-neighbor index
+    rule applied to the generator's pixels, encoded with the same lossless
+    codec, hashed driver-side."""
+    import hashlib
+
+    import numpy as np
+
+    from .fixtures import corpus as C
+
+    spec = C.CorpusSpec(n=IMG_FEAT_N)
+    vals = []
+    for i in range(IMG_FEAT_N):
+        arr = _neardup_image_pixels(i, spec)
+        h, w, _ = arr.shape
+        yi = (np.arange(16) * h // 16).astype(np.intp)
+        xi = (np.arange(16) * w // 16).astype(np.intp)
+        blob = C.encode_image(arr[np.ix_(yi, xi)], "png")
+        vals.append(f"('img{i:05d}', 16, 16, '{hashlib.sha256(blob).hexdigest()}')")
+    return (
+        "SELECT image_id, CAST(w AS INT) AS w, CAST(h AS INT) AS h, payload_sha "
+        "FROM (VALUES " + ", ".join(vals) + ") AS t(image_id, w, h, payload_sha)"
+    )
+
+
 ORACLE_SQL["audio_features"] = _audio_oracle_sql()
 ORACLE_SQL["video_frame_sample"] = _video_oracle_sql()
 ORACLE_SQL["image_neardup"] = _image_neardup_oracle_sql()
+ORACLE_SQL["image_features"] = _image_features_oracle_sql()
+ORACLE_SQL["image_resize"] = _image_resize_oracle_sql()
 
 # connected components as a recursive transitive closure over the SAME
 # verified-pair SQL (fine at oracle scale; the Spark side is the
@@ -1078,6 +1186,8 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_frame_sample": q_video_frame_sample,
         "cdc_changes": q_cdc_changes,
         "image_neardup": q_image_neardup,
+        "image_features": q_image_features,
+        "image_resize": q_image_resize,
     }
 
 
