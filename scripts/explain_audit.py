@@ -45,6 +45,17 @@ AUDITS = {
     ],
     "ann_topk": ["TakeOrderedAndProject"],
     "ivf_topk": ["TakeOrderedAndProject"],
+    # image near-dup: the exact Hamming verify stays JVM-side (bit_count
+    # over xor — no Python); the banded candidate join must be an EQUI-join
+    # (hash or sort-merge, broadcast at oracle scale) — the FORBIDDEN list
+    # below rejects the cartesian/nested-loop all-pairs regression
+    "image_neardup": ["bit_count"],
+}
+FORBIDDEN = {
+    # a cartesian/nested-loop product in the pair generators is the
+    # all-pairs regression the banded designs exist to prevent
+    "image_neardup": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    "minhash_signature": ["CartesianProduct"],
 }
 
 
@@ -98,9 +109,10 @@ def main():
         plan = plan_of(qs[name](spark, SF_DIR))
         checks = AUDITS.get(name, [])
         missing = [c for c in checks if c not in plan]
-        if missing:
-            failures.append((name, missing))
-        status = "OK" if not missing else f"MISSING {missing}"
+        present = [c for c in FORBIDDEN.get(name, []) if c in plan]
+        if missing or present:
+            failures.append((name, missing + [f"FORBIDDEN:{c}" for c in present]))
+        status = "OK" if not (missing or present) else f"MISSING {missing} FORBIDDEN {present}"
         sections.append(f"## {name} — {status}\n\n```\n{plan.strip()}\n```\n")
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write(
