@@ -520,12 +520,16 @@ class FrontierEngine:
             if on_round is not None:
                 on_round(stats)
 
-        self._finalize_verify(store)  # last round's pipelined verify
+        # the LAST round's pipelined verify has no next round to hide
+        # behind — overlap it with the job-end seen count instead (both
+        # are independent job DAGs; FAIR shares slots)
+        count_future = _POOL.submit(lambda: self.seen_df(job_id).count())
+        self._finalize_verify(store)
         return {
             "job_id": job_id,
             "done": True,
             "last_round": last,
-            "n_seen": self.seen_df(job_id).count(),
+            "n_seen": count_future.result(),
         }
 
     def _run_round(self, store: JobStateStore, r: int, depth_limit: int) -> RoundStats:
