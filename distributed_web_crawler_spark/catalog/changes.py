@@ -87,19 +87,26 @@ def changes_pdf(
             for _, row in cur.iterrows():
                 out.append({"_version": v, "_op": "insert", **row.to_dict()})
         else:
-            pk, ck = set(prev[key]), set(cur[key])
-            for k in sorted(ck - pk, key=str):
-                row = cur[cur[key] == k].iloc[0]
-                out.append({"_version": v, "_op": "insert", **row.to_dict()})
-            for k in sorted(pk - ck, key=str):
-                row = prev[prev[key] == k].iloc[0]
-                out.append({"_version": v, "_op": "delete", **row.to_dict()})
-            for k in sorted(pk & ck, key=str):
-                a = prev[prev[key] == k].iloc[0]
-                b = cur[cur[key] == k].iloc[0]
-                if not a.equals(b):
-                    out.append({"_version": v, "_op": "update_pre", **a.to_dict()})
-                    out.append({"_version": v, "_op": "update_post", **b.to_dict()})
+            # vectorized three-way diff on the key index — the per-key
+            # boolean-mask scans this replaces were O(rows²) per version
+            # step, which a 10^5-job ledger would feel even "driver-side"
+            pi = prev.set_index(key, drop=False)
+            ci = cur.set_index(key, drop=False)
+            ins_k = ci.index.difference(pi.index)
+            del_k = pi.index.difference(ci.index)
+            common = pi.index.intersection(ci.index)
+            a = pi.loc[common].sort_index()
+            b = ci.loc[common].sort_index()
+            # row equality with NaN == NaN (Series.equals semantics)
+            eq = ((a.values == b.values) | (a.isna().values & b.isna().values)).all(axis=1)
+            upd_k = a.index[~eq]
+            for k in sorted(ins_k, key=str):
+                out.append({"_version": v, "_op": "insert", **ci.loc[k].to_dict()})
+            for k in sorted(del_k, key=str):
+                out.append({"_version": v, "_op": "delete", **pi.loc[k].to_dict()})
+            for k in sorted(upd_k, key=str):
+                out.append({"_version": v, "_op": "update_pre", **a.loc[k].to_dict()})
+                out.append({"_version": v, "_op": "update_post", **b.loc[k].to_dict()})
         prev = cur
     cols = ["_version", "_op"] + [c for c in (prev.columns if prev is not None else [])]
     return pd.DataFrame(out, columns=cols if out else ["_version", "_op"])
