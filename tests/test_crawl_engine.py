@@ -275,3 +275,23 @@ def test_pipelined_verify_same_stats_and_results(spark, corpus_1k, tmp_path):
     assert 1 in piped2.payload_stats("res")  # finalized before the early return
     piped2.run_job("res", C.url_of(seed_i, spec), 3)
     assert piped2.payload_stats("res") == ss
+
+
+def test_pipelined_verify_with_politeness_subrounds(spark, corpus_1k, tmp_path):
+    """Pipelining must also hold when a depth drains in politeness
+    sub-rounds (many small rounds, verify per admitted slice): per-round
+    stats equal synchronous mode and the crawl matches the oracle."""
+    spec, _ = corpus_1k
+    seed_i = pick_seed(spec)
+    pol = PolitenessPolicy()
+    mk = lambda sub, pv: engine_for(  # noqa: E731
+        spark, tmp_path / sub, corpus_1k,
+        EngineConfig(politeness=pol, use_bloom=True, verify_payloads=True, pipeline_verify=pv),
+    )
+    sync, piped = mk("a", False), mk("b", True)
+    rs = sync.run_job("p", C.url_of(seed_i, spec), 2)
+    rp = piped.run_job("p", C.url_of(seed_i, spec), 2)
+    assert rp["done"] and rp["n_seen"] == rs["n_seen"]
+    assert piped.payload_stats("p") == sync.payload_stats("p")
+    want = crawl(seed_i, 2, spec, politeness=pol)
+    assert piped.client_payload("p", 2) == want.levels_sorted()
