@@ -614,7 +614,8 @@ class FrontierEngine:
             # Construction happens inside the thread too: fetch_join's
             # bucket-pruning collect would otherwise block this thread.
             def _verify():
-                return (
+                t0 = time.monotonic()
+                stats = (
                     fetch_and_verify(self.spark, self.corpus_path, admitted_keyed, self.spec)
                     .agg(
                         F.count("*").alias("n"),
@@ -626,6 +627,12 @@ class FrontierEngine:
                     .collect()[0]
                     .asDict()
                 )
+                # the verify job's own wall: with pipeline_verify the phase
+                # table only shows residual WAIT, so this is the one place
+                # an operator can still read what verification actually
+                # cost (slot-shared elapsed, not exclusive CPU)
+                stats["verify_wall_ms"] = round((time.monotonic() - t0) * 1000)
+                return stats
 
             payload_future = _POOL.submit(_verify)
         t = _mark("fetch_submit_ms", t)
