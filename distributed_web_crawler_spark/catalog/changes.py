@@ -89,17 +89,25 @@ def changes_pdf(
         else:
             # vectorized three-way diff on the key index — the per-key
             # boolean-mask scans this replaces were O(rows²) per version
-            # step, which a 10^5-job ledger would feel even "driver-side"
-            pi = prev.set_index(key, drop=False)
-            ci = cur.set_index(key, drop=False)
-            ins_k = ci.index.difference(pi.index)
-            del_k = pi.index.difference(ci.index)
-            common = pi.index.intersection(ci.index)
-            a = pi.loc[common].sort_index()
-            b = ci.loc[common].sort_index()
-            # row equality with NaN == NaN (Series.equals semantics)
-            eq = ((a.values == b.values) | (a.isna().values & b.isna().values)).all(axis=1)
-            upd_k = a.index[~eq]
+            # step, which a 10^5-job ledger would feel even "driver-side".
+            # keep="first" preserves the old .iloc[0] behavior for a
+            # (malformed) snapshot with duplicate keys; sort=False keeps
+            # mixed-type keys working (emit order is sorted(key=str) below)
+            pi = prev.drop_duplicates(subset=key, keep="first").set_index(key, drop=False)
+            ci = cur.drop_duplicates(subset=key, keep="first").set_index(key, drop=False)
+            ins_k = ci.index.difference(pi.index, sort=False)
+            del_k = pi.index.difference(ci.index, sort=False)
+            common = pi.index.intersection(ci.index, sort=False)
+            a = pi.loc[common]
+            b = ci.loc[common]
+            if list(prev.columns) != list(cur.columns):
+                # snapshot schema drift: every common row "differs" under
+                # the old per-row Series.equals semantics -> all updates
+                upd_k = common
+            else:
+                # row equality with NaN == NaN (Series.equals semantics)
+                eq = ((a.values == b.values) | (a.isna().values & b.isna().values)).all(axis=1)
+                upd_k = a.index[~eq]
             for k in sorted(ins_k, key=str):
                 out.append({"_version": v, "_op": "insert", **ci.loc[k].to_dict()})
             for k in sorted(del_k, key=str):

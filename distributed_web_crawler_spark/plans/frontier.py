@@ -524,7 +524,16 @@ class FrontierEngine:
         # behind — overlap it with the job-end seen count instead (both
         # are independent job DAGs; FAIR shares slots)
         count_future = _POOL.submit(lambda: self.seen_df(job_id).count())
-        self._finalize_verify(store)
+        try:
+            self._finalize_verify(store)
+        except BaseException:
+            # a verify failure must not orphan the in-flight count job:
+            # drain it (its own outcome is moot once verify failed)
+            try:
+                count_future.result()
+            except Exception:
+                pass
+            raise
         return {
             "job_id": job_id,
             "done": True,
@@ -630,8 +639,11 @@ class FrontierEngine:
                 # the verify job's own wall: with pipeline_verify the phase
                 # table only shows residual WAIT, so this is the one place
                 # an operator can still read what verification actually
-                # cost (slot-shared elapsed, not exclusive CPU)
-                stats["verify_wall_ms"] = round((time.monotonic() - t0) * 1000)
+                # cost (slot-shared elapsed, not exclusive CPU). Sync mode
+                # keeps the stats deterministic — fetch_verify_wait_ms
+                # already carries the timing there.
+                if self.cfg.pipeline_verify:
+                    stats["verify_wall_ms"] = round((time.monotonic() - t0) * 1000)
                 return stats
 
             payload_future = _POOL.submit(_verify)

@@ -14,6 +14,13 @@ from distributed_web_crawler_spark.oracle.crawler import (
 from distributed_web_crawler_spark.plans.frontier import EngineConfig, FrontierEngine
 
 
+def _strip_stats(per_round: dict) -> dict:
+    """Payload stats net of the pipelined mode's verify_wall_ms timing
+    field — the invariant counts/PSNR are what sync and piped must agree
+    on."""
+    return {r: {k: v for k, v in st.items() if k != "verify_wall_ms"} for r, st in per_round.items()}
+
+
 def pick_seed(spec, min_degree=3, skip=0):
     found = 0
     for i in range(spec.n):
@@ -257,8 +264,7 @@ def test_pipelined_verify_same_stats_and_results(spark, corpus_1k, tmp_path):
     assert rp["done"] and rp["n_seen"] == rs["n_seen"]
     assert sync.client_payload("pay", 3) == piped.client_payload("pay", 3)
 
-    strip = lambda d: {r: {k: v for k, v in st.items() if k != "verify_wall_ms"} for r, st in d.items()}  # noqa: E731
-    ss, sp = strip(sync.payload_stats("pay")), strip(piped.payload_stats("pay"))
+    ss, sp = _strip_stats(sync.payload_stats("pay")), _strip_stats(piped.payload_stats("pay"))
     assert ss and sp == ss  # same rounds, same invariant counts, same PSNR
     for s in sp.values():
         assert s["n"] == s["n_pixels_ok"] == s["n_phash_ok"] == s["n_caption_ok"]
@@ -275,7 +281,7 @@ def test_pipelined_verify_same_stats_and_results(spark, corpus_1k, tmp_path):
     piped2.run_job("res", C.url_of(seed_i, spec), 3, max_rounds=1)
     assert 1 in piped2.payload_stats("res")  # finalized before the early return
     piped2.run_job("res", C.url_of(seed_i, spec), 3)
-    assert strip(piped2.payload_stats("res")) == ss
+    assert _strip_stats(piped2.payload_stats("res")) == ss
 
 
 def test_pipelined_verify_with_politeness_subrounds(spark, corpus_1k, tmp_path):
@@ -293,7 +299,6 @@ def test_pipelined_verify_with_politeness_subrounds(spark, corpus_1k, tmp_path):
     rs = sync.run_job("p", C.url_of(seed_i, spec), 2)
     rp = piped.run_job("p", C.url_of(seed_i, spec), 2)
     assert rp["done"] and rp["n_seen"] == rs["n_seen"]
-    strip = lambda d: {r: {k: v for k, v in st.items() if k != "verify_wall_ms"} for r, st in d.items()}  # noqa: E731
-    assert strip(piped.payload_stats("p")) == strip(sync.payload_stats("p"))
+    assert _strip_stats(piped.payload_stats("p")) == _strip_stats(sync.payload_stats("p"))
     want = crawl(seed_i, 2, spec, politeness=pol)
     assert piped.client_payload("p", 2) == want.levels_sorted()
