@@ -105,8 +105,16 @@ def changes_pdf(
                 # the old per-row Series.equals semantics -> all updates
                 upd_k = common
             else:
-                # row equality with NaN == NaN (Series.equals semantics)
-                eq = ((a.values == b.values) | (a.isna().values & b.isna().values)).all(axis=1)
+                # row equality with NaN == NaN, preserving the original
+                # per-row Series.equals semantics this vectorization
+                # replaced: equals is DTYPE-STRICT (an int64 1 vs float64
+                # 1.0 across snapshots is a change and must emit
+                # update_pre/update_post), and object columns may hold
+                # non-scalar cells (a flat a.values == b.values would turn
+                # an ndarray cell's == into a nested array and make
+                # .all(axis=1) raise). Column-at-a-time keeps the numeric
+                # common case vectorized.
+                eq = _rows_equal(a[cur.columns], b[cur.columns])
                 upd_k = a.index[~eq]
             for k in sorted(ins_k, key=str):
                 out.append({"_version": v, "_op": "insert", **ci.loc[k].to_dict()})
@@ -118,6 +126,41 @@ def changes_pdf(
         prev = cur
     cols = ["_version", "_op"] + [c for c in (prev.columns if prev is not None else [])]
     return pd.DataFrame(out, columns=cols if out else ["_version", "_op"])
+
+
+def _cell_eq(x, y) -> bool:
+    try:
+        if pd.isna(x) and pd.isna(y):
+            return True
+    except (TypeError, ValueError):
+        pass  # non-scalar cell: isna is elementwise, fall through to ==
+    r = x == y
+    import numpy as np
+
+    return bool(np.all(r)) if isinstance(r, np.ndarray) else bool(r)
+
+
+def _rows_equal(a: pd.DataFrame, b: pd.DataFrame):
+    """Boolean mask of positionally-aligned row equality, Series.equals
+    semantics per cell (NaN == NaN, dtype-strict across snapshots)."""
+    import numpy as np
+
+    eq = np.ones(len(a), dtype=bool)
+    for c in a.columns:
+        sa, sb = a[c], b[c]
+        if sa.dtype != sb.dtype:
+            # Series.equals returns False on any dtype mismatch
+            return np.zeros(len(a), dtype=bool)
+        if sa.dtype == object:
+            col = np.fromiter(
+                (_cell_eq(x, y) for x, y in zip(sa.to_numpy(), sb.to_numpy())),
+                dtype=bool,
+                count=len(sa),
+            )
+        else:
+            col = (sa.to_numpy() == sb.to_numpy()) | (sa.isna().to_numpy() & sb.isna().to_numpy())
+        eq &= col
+    return eq
 
 
 def changes_df(spark, warehouse: str, name: str, key: str, start_version: Optional[int] = None):

@@ -224,9 +224,15 @@ class JobStateStore:
         if sc is not None:
             for nm in os.listdir(self.dir):
                 if nm.startswith("seen_compact_v") and nm.endswith(".json"):
-                    with open(os.path.join(self.dir, nm)) as f:
-                        if json.load(f)["upto"] < sc["upto"]:
+                    # two concurrent vacuums sweep the same superseded
+                    # pointers — losing the open/unlink race is benign
+                    try:
+                        with open(os.path.join(self.dir, nm)) as f:
+                            superseded = json.load(f)["upto"] < sc["upto"]
+                        if superseded:
                             os.unlink(os.path.join(self.dir, nm))
+                    except (FileNotFoundError, json.JSONDecodeError):
+                        continue
         if sc is not None:
             for r in self.committed_rounds():
                 np_ = self.new_path(r)
@@ -273,8 +279,16 @@ class JobStateStore:
         if os.path.isdir(self.dir):
             for nm in os.listdir(self.dir):
                 if nm.startswith("seen_compact_v") and nm.endswith(".json"):
-                    with open(os.path.join(self.dir, nm)) as f:
-                        cand = json.load(f)
+                    # vacuum() DELETES superseded pointer files, so a file
+                    # listed here may be gone (or two vacuums may race each
+                    # other's unlink) by the time we open it — a vanished
+                    # pointer is by construction superseded, so skipping it
+                    # never changes the max-upto winner
+                    try:
+                        with open(os.path.join(self.dir, nm)) as f:
+                            cand = json.load(f)
+                    except (FileNotFoundError, json.JSONDecodeError):
+                        continue
                     if best is None or cand["upto"] > best["upto"]:
                         best = cand
         return best

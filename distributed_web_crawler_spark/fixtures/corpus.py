@@ -148,6 +148,98 @@ def out_links(i: int, spec: CorpusSpec) -> List[int]:
     return out
 
 
+# ------------------------------------------------- link rule, batched form
+
+def _ndigits(x: "np.ndarray") -> "np.ndarray":
+    d = np.ones(x.shape, np.int64)
+    p = 10
+    while (x >= p).any():
+        d += x >= p
+        p *= 10
+    return d
+
+
+def _digit_cols(x: "np.ndarray", d: int) -> "np.ndarray":
+    """ASCII decimal digits of each value as a (rows, d) uint8 matrix."""
+    cols = np.empty((len(x), d), np.uint8)
+    t = x.copy()
+    for pos in range(d - 1, -1, -1):
+        cols[:, pos] = (t % 10) + 48
+        t //= 10
+    return cols
+
+
+def _hash_keyed_batch(tag: str, idx: "np.ndarray", spec: CorpusSpec, k: int | None = None) -> "np.ndarray":
+    """xxh64(f"{seed}:{tag}:{i}") (or ...":{k}") for a whole index batch,
+    bit-identical to the scalar rule: keys are assembled as uint8 digit
+    matrices (no per-row Python strings) grouped by digit count so every
+    group is one fixed-width :func:`xxh64_u8mat` call."""
+    from ..functions.xxh64 import xxh64_u8mat
+
+    idx = np.asarray(idx, np.int64)
+    prefix = np.frombuffer(f"{spec.seed}:{tag}:".encode(), np.uint8)
+    out = np.empty(len(idx), np.uint64)
+    nd = _ndigits(idx)
+    for d in np.unique(nd):
+        m = nd == d
+        sub = idx[m]
+        width = len(prefix) + int(d) + (2 if k is not None else 0)
+        mat = np.empty((len(sub), width), np.uint8)
+        mat[:, : len(prefix)] = prefix
+        mat[:, len(prefix) : len(prefix) + d] = _digit_cols(sub, int(d))
+        if k is not None:
+            mat[:, -2] = ord(":")
+            mat[:, -1] = 48 + k  # single digit: k < MAX_OUT_DEGREE <= 9
+        out[m] = xxh64_u8mat(mat)
+    return out
+
+
+def host_of_batch(idx: "np.ndarray", spec: CorpusSpec) -> "np.ndarray":
+    """Vectorized :func:`host_of` (mega-host remap included)."""
+    idx = np.asarray(idx, np.int64)
+    h = (_hash_keyed_batch("host", idx, spec) % np.uint64(spec.n_hosts)).astype(np.int64)
+    return np.where(idx % 10 == 0, 0, h)
+
+
+def out_links_batch(idx: "np.ndarray", spec: CorpusSpec):
+    """Vectorized :func:`out_links` over a batch of page indices.
+
+    Returns ``(parent_pos, target)`` int64 arrays — row positions into
+    ``idx`` and link-target page indices, ordered row-major so each
+    parent's targets appear in extraction order. Same quirks as the scalar
+    form (oversized/fetch-error → none, F2 validity, U1 keep-first dedup);
+    parity-tested in tests/test_corpus.py. This is the extract stage's hot
+    path: ~12 hashed keys per page collapse into ≤12 batched numpy hash
+    passes instead of per-key interpreted XXH64."""
+    idx = np.asarray(idx, np.int64)
+    B = len(idx)
+    if B == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    dead = (_hash_keyed_batch("big", idx, spec) % np.uint64(OVERSIZED_MOD) == 0) | (
+        _hash_keyed_batch("err", idx, spec) % np.uint64(FETCH_ERR_MOD) == 0
+    )
+    deg = np.where(
+        dead, 0, (_hash_keyed_batch("deg", idx, spec) % np.uint64(MAX_OUT_DEGREE)).astype(np.int64)
+    )
+    K = int(deg.max())
+    if K == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    tgt = np.full((B, K), -1, np.int64)
+    space = np.uint64(spec.target_space)
+    for k in range(K):
+        m = deg > k
+        tk = (_hash_keyed_batch("lnk", idx[m], spec, k=k) % space).astype(np.int64)
+        tgt[m, k] = np.where(tk < spec.n, tk, -1)  # F2 validity
+    for k in range(1, K):  # U1 keep-first dedup (K <= 8: 28 column compares)
+        dup = np.zeros(B, bool)
+        for j in range(k):
+            dup |= tgt[:, j] == tgt[:, k]
+        tgt[dup & (tgt[:, k] >= 0), k] = -1
+    mask = tgt >= 0
+    parent_pos, link_slot = np.nonzero(mask)
+    return parent_pos, tgt[parent_pos, link_slot]
+
+
 # ---------------------------------------------------------------- payload
 
 def dims_of(i: int) -> tuple[int, int]:

@@ -89,3 +89,65 @@ def xxh64_signed(data: bytes | str, seed: int = SPARK_SEED) -> int:
     Spark's ``F.xxhash64`` column returns."""
     h = xxh64(data, seed)
     return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def xxh64_u8mat(mat, seed: int = SPARK_SEED):
+    """XXH64 of every ROW of a fixed-width uint8 matrix, vectorized.
+
+    All rows share the same byte length (``mat.shape[1]``) so every row
+    follows the identical chunk path and the whole batch reduces to a
+    handful of numpy uint64 passes — callers with variable-length keys
+    group rows by length first (fixtures.corpus._hash_keyed_batch). Bit-
+    identical to :func:`xxh64` (parity-tested in tests/test_xxh64.py);
+    this is what lets the extract stage hash ~12 keys/page without ~100
+    interpreted ops per byte."""
+    import numpy as np
+
+    mat = np.ascontiguousarray(mat, dtype=np.uint8)
+    nrows, n = mat.shape
+    u = np.uint64
+    p1, p2, p3, p4, p5 = u(P1), u(P2), u(P3), u(P4), u(P5)
+
+    def rotl(x, r):
+        return (x << u(r)) | (x >> u(64 - r))
+
+    def rnd(acc, lane):
+        return rotl(acc + lane * p2, 31) * p1
+
+    def w8(i):
+        return mat[:, i : i + 8].copy().view("<u8").ravel()
+
+    i = 0
+    if n >= 32:
+        v1 = np.full(nrows, (seed + P1 + P2) & MASK64, u)
+        v2 = np.full(nrows, (seed + P2) & MASK64, u)
+        v3 = np.full(nrows, seed & MASK64, u)
+        v4 = np.full(nrows, (seed - P1) & MASK64, u)
+        while i + 32 <= n:
+            v1 = rnd(v1, w8(i))
+            v2 = rnd(v2, w8(i + 8))
+            v3 = rnd(v3, w8(i + 16))
+            v4 = rnd(v4, w8(i + 24))
+            i += 32
+        h = rotl(v1, 1) + rotl(v2, 7) + rotl(v3, 12) + rotl(v4, 18)
+        for v in (v1, v2, v3, v4):
+            h = (h ^ rnd(np.uint64(0), v)) * p1 + p4
+    else:
+        h = np.full(nrows, (seed + P5) & MASK64, u)
+    h = h + u(n)
+    while i + 8 <= n:
+        h = (rotl(h ^ rnd(np.uint64(0), w8(i)), 27)) * p1 + p4
+        i += 8
+    if i + 4 <= n:
+        w4 = mat[:, i : i + 4].copy().view("<u4").ravel().astype(u)
+        h = rotl(h ^ (w4 * p1), 23) * p2 + p3
+        i += 4
+    while i < n:
+        h = rotl(h ^ (mat[:, i].astype(u) * p5), 11) * p1
+        i += 1
+    h ^= h >> u(33)
+    h *= p2
+    h ^= h >> u(29)
+    h *= p3
+    h ^= h >> u(32)
+    return h

@@ -21,6 +21,26 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+def _local_checkpoint(df: DataFrame, tracked: list) -> DataFrame:
+    """Eager localCheckpoint that CAPTURES the checkpoint's block-holding
+    RDD handles into `tracked`. DataFrame.unpersist releases only the
+    CacheManager entry — a localCheckpoint's materialized blocks are an
+    RDD-level cache that survives it — so superseded generations must be
+    dropped through these handles or a deep crawl accumulates O(depth)
+    checkpoint block sets."""
+    jsc = df.sparkSession.sparkContext._jsc
+    before = set(jsc.getPersistentRDDs().keys())
+    out = df.localCheckpoint()
+    tracked.extend(r for rid, r in jsc.getPersistentRDDs().items() if rid not in before)
+    return out
+
+
+def _release(handles: list) -> None:
+    for h in handles:
+        h.unpersist()
+    handles.clear()
+
+
 def bfs(edges: DataFrame, seed: DataFrame, max_depth: int, checkpoint_every: int = 4) -> DataFrame:
     """edges: (src string, dst string); seed: (url string) single row.
     Returns (url string, depth int) — first-discovery depth per reached node,
@@ -35,6 +55,8 @@ def bfs(edges: DataFrame, seed: DataFrame, max_depth: int, checkpoint_every: int
     edges = edges.persist()
     seen = seed.select(F.col("url"), F.lit(0).alias("depth")).persist()
     frontier = seen
+    handles = [seen]  # persisted generations, released at each checkpoint
+    cp_blocks: list = []  # superseded localCheckpoint block RDD handles
     for d in range(1, max_depth + 1):
         nxt = (
             edges.join(F.broadcast(frontier.select(F.col("url").alias("src"))), "src")
@@ -44,12 +66,34 @@ def bfs(edges: DataFrame, seed: DataFrame, max_depth: int, checkpoint_every: int
             .withColumn("depth", F.lit(d))
             .persist()
         )
+        handles.append(nxt)
         if nxt.isEmpty():
             break
         seen = seen.unionByName(nxt)
-        if d % checkpoint_every == 0:
-            seen = seen.localCheckpoint()
-        seen = seen.persist()
         frontier = nxt
+        if d % checkpoint_every == 0:
+            # the eager localCheckpoint materializes `seen` independent of
+            # every earlier cached generation — release them all (plus the
+            # PREVIOUS checkpoint's blocks, now folded into this one); a
+            # deep crawl through this helper would otherwise pin O(depth)
+            # frames + checkpoints for its whole life. The next frontier is
+            # re-derived from the checkpointed seen so nothing re-computes.
+            prior_blocks = list(cp_blocks)
+            cp_blocks.clear()
+            seen = _local_checkpoint(seen, cp_blocks)
+            frontier = seen.filter(F.col("depth") == d)
+            for h in handles:
+                h.unpersist()
+            handles = []
+            _release(prior_blocks)
+        seen = seen.persist()
+        handles.append(seen)
     edges.unpersist()
-    return seen
+    # hand back a self-contained materialized frame and drop every interim
+    # handle: callers get a result that neither recomputes nor pins caches
+    final_blocks: list = []
+    out = _local_checkpoint(seen, final_blocks)
+    for h in handles:
+        h.unpersist()
+    _release(cp_blocks)
+    return out

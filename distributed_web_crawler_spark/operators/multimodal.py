@@ -57,7 +57,11 @@ def image_features(corpus: DataFrame) -> DataFrame:
 
 
 def phash_neardup_pairs(
-    imgs: DataFrame, max_hamming: int = 3, n_bands: int = 4, id_col: str = "image_id"
+    imgs: DataFrame,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    id_col: str = "image_id",
+    persisted: list | None = None,
 ) -> DataFrame:
     """Near-duplicate IMAGE pairs by perceptual-hash Hamming distance — the
     block-permutation scheme of Manku/Jain/Das Sarma (WWW'07, simhash dedup
@@ -72,11 +76,22 @@ def phash_neardup_pairs(
 
     100-TB shape: band buckets hold ~N/2^(64/n_bands) ids; the verify join
     is bounded by what banding blocked together (same shape as
-    similarity.embedding_neardup_pairs and dedup.minhash_lsh_pairs)."""
+    similarity.embedding_neardup_pairs and dedup.minhash_lsh_pairs).
+
+    The (id, phash) projection is a shared ancestor of FOUR plan branches
+    (band sides a/b + the two verify join-backs); when `imgs` is the
+    mapInPandas decode+DCT pipeline of image_features, re-deriving it per
+    branch would re-decode every image ~4×. Persist it once; pass
+    `persisted` (same contract as dedup.jaccard_verified_pairs /
+    politeness.schedule) to take ownership of releasing the handle,
+    else it is pinned for the session."""
     assert max_hamming <= n_bands - 1, "guarantee needs max_hamming <= n_bands-1"
     width = 64 // n_bands
     mask = (1 << width) - 1
-    bands = imgs.select(
+    ph = imgs.select(F.col(id_col), F.col("phash")).persist()
+    if persisted is not None:
+        persisted.append(ph)
+    bands = ph.select(
         F.col(id_col),
         F.explode(
             F.array(
@@ -99,7 +114,6 @@ def phash_neardup_pairs(
         .select(F.col(f"a.{id_col}").alias("a_id"), F.col(f"b.{id_col}").alias("b_id"))
         .dropDuplicates(["a_id", "b_id"])
     )
-    ph = imgs.select(F.col(id_col), F.col("phash"))
     return (
         cand.join(ph.select(F.col(id_col).alias("a_id"), F.col("phash").alias("pa")), "a_id")
         .join(ph.select(F.col(id_col).alias("b_id"), F.col("phash").alias("pb")), "b_id")

@@ -173,6 +173,49 @@ def _bucket_restrict(embeddings: DataFrame, dim: int, n_planes: int, probe) -> D
     return embeddings.select("vec_id", "embedding").mapInPandas(filt, schema=schema)
 
 
+def write_bucket_partitioned(
+    embeddings: DataFrame, path: str, dim: int, n_planes: int = 8
+) -> None:
+    """Materialize the 100-TB ANN layout: the sign-LSH bucket as the
+    vector table's PARTITION KEY. Buckets are assigned by the same
+    6-dp-rounded double arithmetic as every query-side bucket path
+    (lsh_bucket / query_bucket), so a probe set computed from the query
+    selects exactly the right partition directories. One file per bucket:
+    repartition BY the partition column before partitionBy, else every
+    input partition writes a file per bucket (memory: tiny-file trap)."""
+    emb = embeddings.select(
+        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("embedding")
+    )
+    (
+        lsh_bucket(emb, dim, n_planes)
+        .repartition(F.col("bucket"))
+        .write.partitionBy("bucket")
+        .mode("overwrite")
+        .parquet(path)
+    )
+
+
+def ann_topk_partitioned(
+    spark,
+    path: str,
+    query_vec: Sequence[float],
+    dim: int,
+    k: int = 10,
+    n_planes: int = 8,
+    n_flip: int = 1,
+) -> DataFrame:
+    """ann_topk over a bucket-PARTITIONED vector table — the probe-set
+    restriction becomes a PARTITION FILTER the scan prunes on: no per-row
+    bucket recompute, no bytes read outside the probe directories. This is
+    the plan-audited realization of _bucket_restrict's 100-TB claim
+    (tests/test_ann_partitioned.py asserts the pruned file set); results
+    are identical to ann_topk on the unpartitioned table (same oracle)."""
+    qb = query_bucket(query_vec, dim, n_planes)
+    probe = sorted({qb ^ m for m in probe_masks(n_planes, n_flip)})
+    survivors = spark.read.parquet(path).filter(F.col("bucket").isin(probe))
+    return cosine_topk(survivors, query_vec, k)
+
+
 def band_keys(embeddings: DataFrame, dim: int, n_bands: int, band_planes: int) -> DataFrame:
     """(vec_id, band, key) rows — key = sign bits of the band's hyperplane
     dots, rounded to 6 dp before the sign so every engine (whatever its

@@ -63,6 +63,29 @@ FRONTIER_SCHEMA = "url string, host string, url_hash bigint, seen_bucket int, de
 _POOL = ThreadPoolExecutor(max_workers=4, thread_name_prefix="frontier-io")
 
 
+def _pool_submit(spark: SparkSession, fn, *args):
+    """Submit a Spark action to _POOL under a PER-THREAD FAIR scheduler
+    pool. spark.scheduler.mode=FAIR (session.py) only arbitrates BETWEEN
+    pools; with no allocation file every job lands in the single default
+    pool, whose internal mode is FIFO — i.e. FAIR-with-one-pool schedules
+    exactly like FIFO and the long verify job still starves the short write
+    job. Tagging each pool thread with its own spark.scheduler.pool local
+    property puts concurrent jobs in DISTINCT auto-created pools (weight 1,
+    minShare 0), which the FAIR root genuinely round-robins. Local
+    properties are per-Python-thread under PySpark's pinned-thread mode and
+    setting is idempotent, so re-tagging on every submit is cheap."""
+
+    def run():
+        import threading
+
+        spark.sparkContext.setLocalProperty(
+            "spark.scheduler.pool", threading.current_thread().name
+        )
+        return fn(*args)
+
+    return _POOL.submit(run)
+
+
 @dataclass
 class EngineConfig:
     politeness: Optional[PolitenessPolicy] = None
@@ -392,11 +415,32 @@ class FrontierEngine:
     def _finalize_verify(self, store: JobStateStore) -> None:
         """Await the in-flight pipelined verify (if any), release its
         persisted frames, and write its stats as ``verify.json`` in the
-        (already committed) round dir."""
+        (already committed) round dir. An inflight entry belonging to a
+        different job store (engine reuse after a mid-crawl abort) is
+        drained and discarded, never finalized into this store."""
         if self._verify_inflight is None:
             return
-        r0, fut, frames = self._verify_inflight
+        sdir, r0, fut, frames = self._verify_inflight
         self._verify_inflight = None
+        if sdir != store.dir:
+            # stale entry from a DIFFERENT job whose run_job aborted
+            # mid-round (a reused engine): finalizing it here would write
+            # verify.json into the WRONG job's round dir. Drain + release
+            # only; surface the outcome as a warning attributed to its own
+            # store rather than raising into an unrelated job.
+            try:
+                fut.result()
+            except Exception as e:  # pragma: no cover - needs a failing stale verify
+                import warnings
+
+                warnings.warn(
+                    f"discarded pipelined verify for aborted job at {sdir!r} "
+                    f"round {r0}: {e!r}"
+                )
+            finally:
+                for df_ in frames:
+                    df_.unpersist()
+            return
         try:
             stats = fut.result()
         except Exception as e:
@@ -523,7 +567,7 @@ class FrontierEngine:
         # the LAST round's pipelined verify has no next round to hide
         # behind — overlap it with the job-end seen count instead (both
         # are independent job DAGs; FAIR shares slots)
-        count_future = _POOL.submit(lambda: self.seen_df(job_id).count())
+        count_future = _pool_submit(self.spark, lambda: self.seen_df(job_id).count())
         try:
             self._finalize_verify(store)
         except BaseException:
@@ -547,244 +591,268 @@ class FrontierEngine:
         def _mark(key, t0):
             phases[key] = round((time.monotonic() - t0) * 1000)
             return time.monotonic()
-
-        t = time.monotonic()
-        prev = store.read_commit(r - 1)
-        # the pending frontier is a MANIFEST of committed file-sets
-        # ([relpath, depth, n_rows, due_sub]); the depth cursor, the
-        # no-politeness admitted count, AND every later sub-round's admitted
-        # count are manifest arithmetic — zero Spark jobs — and only the
-        # file-sets the round actually drains are ever opened
-        manifest = prev.get("frontier_manifest")
-        if manifest is None:
-            raise ValueError(
-                f"job store at {store.dir!r} was committed by a pre-manifest layout "
-                "(no frontier_manifest in commit.json); rerun the job in a fresh "
-                "warehouse — old stores are not migrated"
-            )
-        d = min(e[1] for e in manifest)
-        sub = prev["sub_round"] + 1 if prev["depth"] == d else 0
-        entries_d = [e for e in manifest if e[1] == d]
-        n_pending_d = sum(e[2] for e in entries_d)
-
-        # ---- admission. Sub-round 0 ranks the depth's ENTIRE pending set
-        # once and writes each future sub-round's slice ONCE, partitioned by
-        # its computed due sub-round (`ceil(rn/budget)-1`); every later
-        # sub-round admits its slice purely BY MANIFEST REFERENCE — no
-        # politeness window re-run, no deferred-set rewrite. (The old loop
-        # re-ranked and REWROTE the whole remainder every sub-round: a
-        # mega-host with M pending and budget k wrote O(M²/k) rows; this
-        # writes O(M) total.)
-        deferred_sched = None  # rows scheduled for future sub-rounds (sub 0 only)
-        n_deferred = 0
-        if sub == 0:
-            consumed = entries_d
-            pending = self._read_components(
-                [os.path.join(store.dir, e[0]) for e in consumed]
-            )
-            if self.cfg.politeness is None:
-                admitted = pending
-                persisted = [admitted.persist()]
-                n_admitted = n_pending_d
-            else:
-                # persisted `ranked` ancestor: the host-window shuffle runs
-                # ONCE, shared by the admitted count and the deferred write
-                persisted = []
-                admitted, deferred_sched = schedule(pending, self.cfg.politeness, persisted)
-                persisted.append(admitted.persist())
-                n_admitted = admitted.count()
-                n_deferred = n_pending_d - n_admitted
-        else:
-            consumed = [e for e in entries_d if len(e) > 3 and e[3] == sub]
-            if not consumed:
-                raise ValueError(
-                    f"no frontier slice due at depth {d} sub-round {sub}: "
-                    f"schedule slices must be contiguous ({entries_d}). A "
-                    "3-element entry here means the store was committed by "
-                    "the pre-due-slice layout — rerun the job in a fresh "
-                    "warehouse (old stores are not migrated)."
-                )
-            admitted = self._read_components(
-                [os.path.join(store.dir, e[0]) for e in consumed]
-            )
-            persisted = [admitted.persist()]
-            n_admitted = sum(e[2] for e in consumed)
-        t = _mark("admit_ms", t)
-
-        # ---- fetch: bucket-pruned corpus scan ⋈ broadcast(admitted)
-        admitted_keyed = admitted.withColumn("image_id", U.image_id_of(F.col("url"))).withColumn(
-            "corpus_bucket", F.pmod(U.page_index(F.col("url")), F.lit(C.N_BUCKETS)).cast("int")
-        )
         payload_future = None
-        if self.cfg.verify_payloads and n_admitted > 0:
-            # run the payload fetch+decode CONCURRENTLY with the extraction/
-            # dedup pipeline below — they share only the cached `admitted`
-            # (Spark actions are thread-safe; two independent job DAGs).
-            # Construction happens inside the thread too: fetch_join's
-            # bucket-pruning collect would otherwise block this thread.
-            def _verify():
-                t0 = time.monotonic()
-                stats = (
-                    fetch_and_verify(self.spark, self.corpus_path, admitted_keyed, self.spec)
-                    .agg(
-                        F.count("*").alias("n"),
-                        F.sum(F.col("pixels_ok").cast("int")).alias("n_pixels_ok"),
-                        F.sum(F.col("phash_ok").cast("int")).alias("n_phash_ok"),
-                        F.sum(F.col("caption_ok").cast("int")).alias("n_caption_ok"),
-                        F.min("psnr").alias("min_psnr"),
+        deferred_future = None
+        persisted: List[DataFrame] = []
+        try:
+
+            t = time.monotonic()
+            prev = store.read_commit(r - 1)
+            # the pending frontier is a MANIFEST of committed file-sets
+            # ([relpath, depth, n_rows, due_sub]); the depth cursor, the
+            # no-politeness admitted count, AND every later sub-round's admitted
+            # count are manifest arithmetic — zero Spark jobs — and only the
+            # file-sets the round actually drains are ever opened
+            manifest = prev.get("frontier_manifest")
+            if manifest is None:
+                raise ValueError(
+                    f"job store at {store.dir!r} was committed by a pre-manifest layout "
+                    "(no frontier_manifest in commit.json); rerun the job in a fresh "
+                    "warehouse — old stores are not migrated"
+                )
+            d = min(e[1] for e in manifest)
+            sub = prev["sub_round"] + 1 if prev["depth"] == d else 0
+            entries_d = [e for e in manifest if e[1] == d]
+            n_pending_d = sum(e[2] for e in entries_d)
+
+            # ---- admission. Sub-round 0 ranks the depth's ENTIRE pending set
+            # once and writes each future sub-round's slice ONCE, partitioned by
+            # its computed due sub-round (`ceil(rn/budget)-1`); every later
+            # sub-round admits its slice purely BY MANIFEST REFERENCE — no
+            # politeness window re-run, no deferred-set rewrite. (The old loop
+            # re-ranked and REWROTE the whole remainder every sub-round: a
+            # mega-host with M pending and budget k wrote O(M²/k) rows; this
+            # writes O(M) total.)
+            deferred_sched = None  # rows scheduled for future sub-rounds (sub 0 only)
+            n_deferred = 0
+            if sub == 0:
+                consumed = entries_d
+                pending = self._read_components(
+                    [os.path.join(store.dir, e[0]) for e in consumed]
+                )
+                if self.cfg.politeness is None:
+                    admitted = pending
+                    persisted = [admitted.persist()]
+                    n_admitted = n_pending_d
+                else:
+                    # persisted `ranked` ancestor: the host-window shuffle runs
+                    # ONCE, shared by the admitted count and the deferred write
+                    persisted = []
+                    admitted, deferred_sched = schedule(pending, self.cfg.politeness, persisted)
+                    persisted.append(admitted.persist())
+                    n_admitted = admitted.count()
+                    n_deferred = n_pending_d - n_admitted
+            else:
+                consumed = [e for e in entries_d if len(e) > 3 and e[3] == sub]
+                if not consumed:
+                    raise ValueError(
+                        f"no frontier slice due at depth {d} sub-round {sub}: "
+                        f"schedule slices must be contiguous ({entries_d}). A "
+                        "3-element entry here means the store was committed by "
+                        "the pre-due-slice layout — rerun the job in a fresh "
+                        "warehouse (old stores are not migrated)."
                     )
-                    .collect()[0]
-                    .asDict()
+                admitted = self._read_components(
+                    [os.path.join(store.dir, e[0]) for e in consumed]
                 )
-                # the verify job's own wall: with pipeline_verify the phase
-                # table only shows residual WAIT, so this is the one place
-                # an operator can still read what verification actually
-                # cost (slot-shared elapsed, not exclusive CPU). Sync mode
-                # keeps the stats deterministic — fetch_verify_wait_ms
-                # already carries the timing there.
-                if self.cfg.pipeline_verify:
-                    stats["verify_wall_ms"] = round((time.monotonic() - t0) * 1000)
-                return stats
+                persisted = [admitted.persist()]
+                n_admitted = sum(e[2] for e in consumed)
+            t = _mark("admit_ms", t)
 
-            payload_future = _POOL.submit(_verify)
-        t = _mark("fetch_submit_ms", t)
+            # ---- fetch: bucket-pruned corpus scan ⋈ broadcast(admitted)
+            admitted_keyed = admitted.withColumn("image_id", U.image_id_of(F.col("url"))).withColumn(
+                "corpus_bucket", F.pmod(U.page_index(F.col("url")), F.lit(C.N_BUCKETS)).cast("int")
+            )
+            payload_future = None
+            if self.cfg.verify_payloads and n_admitted > 0:
+                # run the payload fetch+decode CONCURRENTLY with the extraction/
+                # dedup pipeline below — they share only the cached `admitted`
+                # (Spark actions are thread-safe; two independent job DAGs).
+                # Construction happens inside the thread too: fetch_join's
+                # bucket-pruning collect would otherwise block this thread.
+                def _verify():
+                    t0 = time.monotonic()
+                    stats = (
+                        fetch_and_verify(self.spark, self.corpus_path, admitted_keyed, self.spec)
+                        .agg(
+                            F.count("*").alias("n"),
+                            F.sum(F.col("pixels_ok").cast("int")).alias("n_pixels_ok"),
+                            F.sum(F.col("phash_ok").cast("int")).alias("n_phash_ok"),
+                            F.sum(F.col("caption_ok").cast("int")).alias("n_caption_ok"),
+                            F.min("psnr").alias("min_psnr"),
+                        )
+                        .collect()[0]
+                        .asDict()
+                    )
+                    # the verify job's own wall: with pipeline_verify the phase
+                    # table only shows residual WAIT, so this is the one place
+                    # an operator can still read what verification actually
+                    # cost (slot-shared elapsed, not exclusive CPU). Sync mode
+                    # keeps the stats deterministic — fetch_verify_wait_ms
+                    # already carries the timing there.
+                    if self.cfg.pipeline_verify:
+                        stats["verify_wall_ms"] = round((time.monotonic() - t0) * 1000)
+                    return stats
 
-        # ---- extract + dedup + seen anti-join + robots (skip at last depth, F4)
-        n_candidates = n_new = n_blocked = 0
-        new_rows = None
-        if d + 1 < depth_limit and n_admitted > 0:
-            # extraction parallelism must not be bound to the frontier's
-            # file count — pin it to 2× cores (CPU-bound Python stage;
-            # finer tasks smooth stragglers)
-            extract_input = admitted_keyed.repartition(2 * self.spark.sparkContext.defaultParallelism)
-            links = extract_links(extract_input, self.spec)
-            keyed = self._with_keys(links.select("url", "host"))
-            if self.cfg.robots is not None:
-                # blocked URLs never enter the seen set, so the robots filter
-                # commutes with both dedup stages; counting BEFORE the
-                # within-round dedup is multiplicity-preserving — every
-                # discovery occurrence of a blocked URL counts, matching the
-                # oracle (oracle/crawler.py:141-147) at any depth, not just
-                # where the fixture happens to have no within-round dups.
-                # The count is metrics-only, so it is gated like n_candidates
-                # (-1 when detailed metrics are off — no extra job per round)
-                keyed = keyed.withColumn("_blocked", blocked_expr(F.col("url"))).persist()
-                persisted.append(keyed)
-                n_blocked = keyed.filter(F.col("_blocked")).count() if self.cfg.detailed_metrics else -1
-                keyed = keyed.filter(~F.col("_blocked")).drop("_blocked")
-            # U3 within-round dedup fused with the U2 cross-depth probe —
-            # one exchange for both (see _filter_new); `deduped` is the
-            # distinct candidate view for metrics
-            fresh, deduped = self._filter_new(store, keyed, persisted)
-            n_candidates = deduped.count() if self.cfg.detailed_metrics else -1
-            new_rows = fresh.withColumn("depth", F.lit(d + 1)).select(
-                "url", "host", "url_hash", "seen_bucket", "depth"
-            )
+                payload_future = _pool_submit(self.spark, _verify)
+            t = _mark("fetch_submit_ms", t)
 
-        # ---- stage writes into the round dir (visible only after commit):
-        # ONE fused shuffle+write job for the new URLs (parquet + seen delta
-        # + bloom blobs all from the same pass, counts from its stats — no
-        # read-back), a second ONLY at sub-round 0 when politeness scheduled
-        # future slices (written once, partitioned by due sub-round), and NO
-        # next-frontier rewrite: untouched depths AND not-yet-due slices
-        # carry over in the manifest by reference
-        t = _mark("extract_dedup_ms", t)
-        deferred_future = (
-            _POOL.submit(
-                self._write_bucketed, store, store.deferred_path(r), deferred_sched, None, "due",
-                n_deferred,
-            )
-            if n_deferred > 0
-            else None
-        )
-        touched: List[int] = []
-        n_new = 0
-        if new_rows is not None:
-            # upper bound on the write's row count (new <= candidates <=
-            # admitted × max out-degree): over-estimating only shrinks the
-            # chunked groups, never breaks the memory guard
-            stats = self._write_bucketed(
-                store, store.new_path(r), new_rows, bloom_round=r,
-                approx_rows=n_admitted * C.MAX_OUT_DEGREE,
-            )
-            touched = sorted({s[0] for s in stats})
-            n_new = sum(s[1] for s in stats)
-        sched_entries: List[list] = []
-        if deferred_future is not None:
-            def_stats = deferred_future.result()
-            n_def_written = sum(s[2] for s in def_stats)
-            # self-check: the manifest records arithmetic (pending - admitted);
-            # the write stats come back for free — any divergence (e.g. a
-            # future budget expression breaking admit/schedule complementarity)
-            # must fail loudly, not corrupt n_pending_after / the done flag
-            if n_def_written != n_deferred:
-                raise AssertionError(
-                    f"deferred write produced {n_def_written} rows, expected {n_deferred}"
+            # ---- extract + dedup + seen anti-join + robots (skip at last depth, F4)
+            n_candidates = n_new = n_blocked = 0
+            new_rows = None
+            if d + 1 < depth_limit and n_admitted > 0:
+                # extraction parallelism must not be bound to the frontier's
+                # file count — pin it to 2× cores (CPU-bound Python stage;
+                # finer tasks smooth stragglers)
+                extract_input = admitted_keyed.repartition(2 * self.spark.sparkContext.defaultParallelism)
+                links = extract_links(extract_input, self.spec)
+                keyed = self._with_keys(links.select("url", "host"))
+                if self.cfg.robots is not None:
+                    # blocked URLs never enter the seen set, so the robots filter
+                    # commutes with both dedup stages; counting BEFORE the
+                    # within-round dedup is multiplicity-preserving — every
+                    # discovery occurrence of a blocked URL counts, matching the
+                    # oracle (oracle/crawler.py:141-147) at any depth, not just
+                    # where the fixture happens to have no within-round dups.
+                    # The count is metrics-only, so it is gated like n_candidates
+                    # (-1 when detailed metrics are off — no extra job per round)
+                    keyed = keyed.withColumn("_blocked", blocked_expr(F.col("url"))).persist()
+                    persisted.append(keyed)
+                    n_blocked = keyed.filter(F.col("_blocked")).count() if self.cfg.detailed_metrics else -1
+                    keyed = keyed.filter(~F.col("_blocked")).drop("_blocked")
+                # U3 within-round dedup fused with the U2 cross-depth probe —
+                # one exchange for both (see _filter_new); `deduped` is the
+                # distinct candidate view for metrics
+                fresh, deduped = self._filter_new(store, keyed, persisted)
+                n_candidates = deduped.count() if self.cfg.detailed_metrics else -1
+                new_rows = fresh.withColumn("depth", F.lit(d + 1)).select(
+                    "url", "host", "url_hash", "seen_bucket", "depth"
                 )
-            per_due: dict = {}
-            for due, _b, n in def_stats:
-                per_due[due] = per_due.get(due, 0) + n
-            root = store.deferred_path(r)
-            sched_entries = [
-                [self._rel(store, os.path.join(root, f"due={due}")), d, per_due[due], due]
-                for due in sorted(per_due)
-            ]
-        payload_stats = None
-        if self.cfg.pipeline_verify:
-            # this round's verify keeps running through the NEXT round's
-            # compute; await the PREVIOUS round's instead (it has had a full
-            # round of overlap), so per-round wall is max(verify, rest),
-            # not their sum. This round's persisted frames stay alive until
-            # its verify finalizes.
-            t = _mark("writes_ms", t)
-            self._finalize_verify(store)
-            if payload_future is None:
+
+            # ---- stage writes into the round dir (visible only after commit):
+            # ONE fused shuffle+write job for the new URLs (parquet + seen delta
+            # + bloom blobs all from the same pass, counts from its stats — no
+            # read-back), a second ONLY at sub-round 0 when politeness scheduled
+            # future slices (written once, partitioned by due sub-round), and NO
+            # next-frontier rewrite: untouched depths AND not-yet-due slices
+            # carry over in the manifest by reference
+            t = _mark("extract_dedup_ms", t)
+            deferred_future = (
+                _pool_submit(
+                    self.spark,
+                    self._write_bucketed, store, store.deferred_path(r), deferred_sched, None, "due",
+                    n_deferred,
+                )
+                if n_deferred > 0
+                else None
+            )
+            touched: List[int] = []
+            n_new = 0
+            if new_rows is not None:
+                # upper bound on the write's row count (new <= candidates <=
+                # admitted × max out-degree): over-estimating only shrinks the
+                # chunked groups, never breaks the memory guard
+                stats = self._write_bucketed(
+                    store, store.new_path(r), new_rows, bloom_round=r,
+                    approx_rows=n_admitted * C.MAX_OUT_DEGREE,
+                )
+                touched = sorted({s[0] for s in stats})
+                n_new = sum(s[1] for s in stats)
+            sched_entries: List[list] = []
+            if deferred_future is not None:
+                def_stats = deferred_future.result()
+                n_def_written = sum(s[2] for s in def_stats)
+                # self-check: the manifest records arithmetic (pending - admitted);
+                # the write stats come back for free — any divergence (e.g. a
+                # future budget expression breaking admit/schedule complementarity)
+                # must fail loudly, not corrupt n_pending_after / the done flag
+                if n_def_written != n_deferred:
+                    raise AssertionError(
+                        f"deferred write produced {n_def_written} rows, expected {n_deferred}"
+                    )
+                per_due: dict = {}
+                for due, _b, n in def_stats:
+                    per_due[due] = per_due.get(due, 0) + n
+                root = store.deferred_path(r)
+                sched_entries = [
+                    [self._rel(store, os.path.join(root, f"due={due}")), d, per_due[due], due]
+                    for due in sorted(per_due)
+                ]
+            payload_stats = None
+            if self.cfg.pipeline_verify:
+                # this round's verify keeps running through the NEXT round's
+                # compute; await the PREVIOUS round's instead (it has had a full
+                # round of overlap), so per-round wall is max(verify, rest),
+                # not their sum. This round's persisted frames stay alive until
+                # its verify finalizes.
+                t = _mark("writes_ms", t)
+                self._finalize_verify(store)
+                if payload_future is None:
+                    for df_ in persisted:
+                        df_.unpersist()
+                _mark("fetch_verify_wait_ms", t)
+            else:
                 for df_ in persisted:
                     df_.unpersist()
-            _mark("fetch_verify_wait_ms", t)
-        else:
+                t = _mark("writes_ms", t)
+                payload_stats = payload_future.result() if payload_future is not None else None
+                _mark("fetch_verify_wait_ms", t)
+
+            consumed_ids = {id(e) for e in consumed}
+            next_manifest = [e for e in manifest if id(e) not in consumed_ids]
+            next_manifest.extend(sched_entries)
+            if n_new > 0:
+                next_manifest.append([self._rel(store, store.new_path(r)), d + 1, n_new, 0])
+            n_pending_after = sum(e[2] for e in next_manifest)
+
+            info = {
+                "depth": int(d),
+                "sub_round": int(sub),
+                "depth_limit": depth_limit,
+                "n_admitted": n_admitted,
+                "n_new": n_new,
+                "n_pending_after": n_pending_after,
+                "frontier_manifest": next_manifest,
+                "done": n_pending_after == 0,
+            }
+            if payload_stats:
+                info["payload"] = {k: (float(v) if v is not None else None) for k, v in payload_stats.items()}
+            info["phases"] = phases
+            store.commit_round(r, info, touched_blooms=touched)
+            if self.cfg.pipeline_verify and payload_future is not None:
+                # stash AFTER commit: the finalize (next round / job end) writes
+                # the stats sidecar into this round's already-committed dir
+                self._verify_inflight = (store.dir, r, payload_future, persisted)
+            return RoundStats(
+                round=r,
+                depth=int(d),
+                sub_round=int(sub),
+                n_admitted=n_admitted,
+                n_candidates=n_candidates,
+                n_new=n_new,
+                n_blocked=n_blocked,
+                n_pending_after=n_pending_after,
+                wall_ms=0,
+            )
+        except BaseException:
+            # a mid-round failure must not leak this round's in-flight
+            # concurrent jobs or cached frames: the verify/deferred futures
+            # would otherwise run unobserved (and their persisted inputs
+            # stay pinned forever — _verify_inflight is only stashed on the
+            # success path, AFTER commit). Drain, release, re-raise; the
+            # futures' own outcomes are moot once the round failed.
+            for fut in (payload_future, deferred_future):
+                if fut is not None:
+                    try:
+                        fut.result()
+                    except Exception:
+                        pass
             for df_ in persisted:
-                df_.unpersist()
-            t = _mark("writes_ms", t)
-            payload_stats = payload_future.result() if payload_future is not None else None
-            _mark("fetch_verify_wait_ms", t)
-
-        consumed_ids = {id(e) for e in consumed}
-        next_manifest = [e for e in manifest if id(e) not in consumed_ids]
-        next_manifest.extend(sched_entries)
-        if n_new > 0:
-            next_manifest.append([self._rel(store, store.new_path(r)), d + 1, n_new, 0])
-        n_pending_after = sum(e[2] for e in next_manifest)
-
-        info = {
-            "depth": int(d),
-            "sub_round": int(sub),
-            "depth_limit": depth_limit,
-            "n_admitted": n_admitted,
-            "n_new": n_new,
-            "n_pending_after": n_pending_after,
-            "frontier_manifest": next_manifest,
-            "done": n_pending_after == 0,
-        }
-        if payload_stats:
-            info["payload"] = {k: (float(v) if v is not None else None) for k, v in payload_stats.items()}
-        info["phases"] = phases
-        store.commit_round(r, info, touched_blooms=touched)
-        if self.cfg.pipeline_verify and payload_future is not None:
-            # stash AFTER commit: the finalize (next round / job end) writes
-            # the stats sidecar into this round's already-committed dir
-            self._verify_inflight = (r, payload_future, persisted)
-        return RoundStats(
-            round=r,
-            depth=int(d),
-            sub_round=int(sub),
-            n_admitted=n_admitted,
-            n_candidates=n_candidates,
-            n_new=n_new,
-            n_blocked=n_blocked,
-            n_pending_after=n_pending_after,
-            wall_ms=0,
-        )
+                try:
+                    df_.unpersist()
+                except Exception:
+                    pass
+            raise
 
     def _write_round_metrics(self, store: JobStateStore, r: int, s: RoundStats) -> None:
         """Per-round lineage/metrics row (north rule; generalizes the

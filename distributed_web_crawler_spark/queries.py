@@ -246,6 +246,25 @@ def q_ann_topk(spark, sf_dir):
     return S.ann_topk(emb, _query_vec(spark, sf_dir), EMB_DIM, k=10, n_planes=N_PLANES, n_flip=N_FLIP)
 
 
+def q_ann_topk_partitioned(spark, sf_dir):
+    """ann_topk with the bucket as the vector table's PARTITION KEY — the
+    scan prunes to the probe set's directories instead of mapping every
+    row through the sign matmul (operators/similarity.py
+    ann_topk_partitioned). The layout is materialized once per sf_dir into
+    a temp cache (the one-time rewrite_data_files analog); the oracle is
+    ann_topk's — identical results, different physical plan."""
+    import hashlib
+    import tempfile
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    path = os.path.join(tempfile.gettempdir(), f"ann_bucketed_{tag}_p{N_PLANES}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        S.write_bucket_partitioned(_t(spark, sf_dir, "embeddings"), path, EMB_DIM, N_PLANES)
+    return S.ann_topk_partitioned(
+        spark, path, _query_vec(spark, sf_dir), EMB_DIM, k=10, n_planes=N_PLANES, n_flip=N_FLIP
+    )
+
+
 # near-dup augmentation: the driver's embeddings are random unit vectors
 # (no natural near-dups at 0.9), so the query plants deterministic ones —
 # vec_id < N_DUP re-enters as vec_id+1e6 with +0.02 on every component
@@ -767,6 +786,10 @@ scored AS (
 )
 SELECT rank, vec_id, sim_bucket FROM ranked WHERE rank <= 10"""
 
+# identical result set, different physical plan (partition pruning instead
+# of a per-row bucket map) — the oracle is deliberately shared
+ORACLE_SQL["ann_topk_partitioned"] = ORACLE_SQL["ann_topk"]
+
 def _ivf_dots_sql(vec_expr: str) -> str:
     """Per-centroid rounded dot products of a DOUBLE[] expression — the
     centroids are the SAME md5-derived codebook the Spark operator uses
@@ -985,11 +1008,18 @@ def _image_resize_oracle_sql() -> str:
     )
 
 
-ORACLE_SQL["audio_features"] = _audio_oracle_sql()
-ORACLE_SQL["video_frame_sample"] = _video_oracle_sql()
-ORACLE_SQL["image_neardup"] = _image_neardup_oracle_sql()
-ORACLE_SQL["image_features"] = _image_features_oracle_sql()
-ORACLE_SQL["image_resize"] = _image_resize_oracle_sql()
+# the multimodal VALUES oracles are EXPENSIVE to render (64 audio clips,
+# 16 videos, 528+128 generator pixel arrays + DCT phashes + PNG encodes —
+# seconds of driver CPU): build them lazily on the first oracle_sql()
+# call instead of at import, so entry()/bench paths that never compare
+# against an oracle don't pay for them. Cached into ORACLE_SQL once built.
+_LAZY_ORACLE_BUILDERS: Dict[str, Callable[[], str]] = {
+    "audio_features": _audio_oracle_sql,
+    "video_frame_sample": _video_oracle_sql,
+    "image_neardup": _image_neardup_oracle_sql,
+    "image_features": _image_features_oracle_sql,
+    "image_resize": _image_resize_oracle_sql,
+}
 
 # connected components as a recursive transitive closure over the SAME
 # verified-pair SQL (fine at oracle scale; the Spark side is the
@@ -1177,6 +1207,7 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "label_centroids": q_label_centroids,
         "ann_topk": q_ann_topk,
+        "ann_topk_partitioned": q_ann_topk_partitioned,
         "ivf_topk": q_ivf_topk,
         "embedding_dedup_pairs": q_embedding_dedup_pairs,
         "salted_host_agg": q_salted_host_agg,
@@ -1192,4 +1223,7 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> Dict[str, str]:
+    for k, build in _LAZY_ORACLE_BUILDERS.items():
+        if k not in ORACLE_SQL:
+            ORACLE_SQL[k] = build()
     return dict(ORACLE_SQL)

@@ -54,9 +54,13 @@ def get_spark(
         # extract ∥ fused write — plans/frontier._POOL). Under the default
         # FIFO scheduler the long verify job's stages hold every task slot
         # and the short write job queues behind them (measured: writes_ms
-        # 10.6 s at local[32] vs 2.0 s at local[8] in scaling attempt 16);
-        # FAIR shares slots across the concurrent jobs, which is also how
-        # a real cluster would run a pipelined crawler.
+        # 10.6 s at local[32] vs 2.0 s at local[8] in scaling attempt 16).
+        # NOTE this flag alone is NOT enough: FAIR arbitrates BETWEEN
+        # pools, and with no allocation file every job lands in the one
+        # default pool whose internal mode is FIFO — so each concurrent
+        # action thread must also set a distinct spark.scheduler.pool
+        # local property (plans/frontier._pool_submit does; auto-created
+        # pools fair-share against each other at weight 1).
         .config("spark.scheduler.mode", "FAIR")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")

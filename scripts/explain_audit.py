@@ -44,6 +44,9 @@ AUDITS = {
         "TakeOrderedAndProject",
     ],
     "ann_topk": ["TakeOrderedAndProject"],
+    # bucket-as-partition-key layout: the probe set must reach the scan as
+    # a PARTITION filter (directory pruning), not a post-scan filter
+    "ann_topk_partitioned": ["TakeOrderedAndProject", "PartitionFilters: [bucket"],
     "ivf_topk": ["TakeOrderedAndProject"],
     # image near-dup: the exact Hamming verify stays JVM-side (bit_count
     # over xor — no Python); the banded candidate join must be an EQUI-join

@@ -92,3 +92,43 @@ def test_unknown_start_version_raises(tmp_path):
         changes_pdf(t, key="job_id", start_version=newest + 7)
     with pytest.raises(ValueError, match="not a committed snapshot"):
         changes_pdf(AtomicTable(wh, "never_written"), key="job_id", start_version=3)
+
+
+def _commit_pdf(table, pdf):
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = table.new_version_path()
+    os.makedirs(path)
+    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), path + "/data.parquet")
+    assert table.publish(path)
+
+
+def test_dtype_only_change_emits_update(tmp_path):
+    """Series.equals semantics are DTYPE-STRICT: an int64 1 that becomes a
+    float64 1.0 across snapshots is a change and must emit an update
+    pre/post pair (the vectorized diff must not paper over it via ==)."""
+    import pandas as pd
+
+    t = AtomicTable(str(tmp_path), "tt")
+    _commit_pdf(t, pd.DataFrame({"k": ["a", "b"], "x": pd.array([1, 2], dtype="int64")}))
+    _commit_pdf(t, pd.DataFrame({"k": ["a", "b"], "x": pd.array([1.0, 2.0], dtype="float64")}))
+    pdf = changes_pdf(t, key="k")
+    v2 = pdf[pdf["_version"] == 2]
+    assert list(v2["_op"]) == ["update_pre", "update_post", "update_pre", "update_post"]
+
+
+def test_non_scalar_cells_do_not_crash(tmp_path):
+    """An object column holding lists/arrays must diff per cell, not raise
+    (a flat values == would nest an ndarray and break .all(axis=1))."""
+    import pandas as pd
+
+    t = AtomicTable(str(tmp_path), "tt")
+    _commit_pdf(t, pd.DataFrame({"k": ["a", "b"], "tags": [[1, 2], [3]]}))
+    _commit_pdf(t, pd.DataFrame({"k": ["a", "b"], "tags": [[1, 2], [3, 4]]}))
+    pdf = changes_pdf(t, key="k")
+    v2 = pdf[pdf["_version"] == 2]
+    ops = list(zip(v2["_op"], v2["k"]))
+    assert ops == [("update_pre", "b"), ("update_post", "b")]

@@ -93,3 +93,22 @@ def test_corpus_partitioned_by_bucket(spark, corpus_1k):
 
     _, path = corpus_1k
     assert any(name.startswith("bucket=") for name in os.listdir(path))
+
+
+def test_out_links_batch_parity():
+    """Batched link rule (extract hot path) == scalar rule, including
+    extraction ORDER per parent, on a range that exercises every quirk
+    (oversized, fetch-error, dangling, per-page dup)."""
+    spec = C.CorpusSpec(n=4000)
+    idx = np.arange(4000, dtype=np.int64)
+    pp, tt = C.out_links_batch(idx, spec)
+    exp = [(i, t) for i in range(4000) for t in C.out_links(i, spec)]
+    assert list(zip(idx[pp].tolist(), tt.tolist())) == exp
+    assert len(exp) > 10000  # the range is non-trivial
+
+
+def test_host_of_batch_parity():
+    spec = C.CorpusSpec(n=4000)
+    idx = np.arange(0, 4000, 7, dtype=np.int64)
+    got = C.host_of_batch(idx, spec)
+    assert [int(h) for h in got] == [C.host_of(int(i), spec) for i in idx]

@@ -145,3 +145,23 @@ def test_phash_neardup_recall_and_verify(spark):
     }
     assert got == want  # total recall within the guarantee, nothing extra
     assert ("a", "e") not in got and ("d", "a") not in got
+
+
+def test_phash_neardup_persists_shared_projection(spark):
+    """The (id, phash) projection is a shared ancestor of four plan
+    branches; phash_neardup_pairs must persist it ONCE (decode pipelines
+    would otherwise re-run ~4x) and hand the releasable handle to the
+    caller via `persisted`."""
+    from distributed_web_crawler_spark.operators.multimodal import phash_neardup_pairs
+
+    df = spark.createDataFrame(
+        [("a", 0), ("b", 1), ("c", 0x0F0F)], "image_id string, phash long"
+    )
+    handles = []
+    out = phash_neardup_pairs(df, max_hamming=3, n_bands=4, persisted=handles)
+    pairs = {(r["a_id"], r["b_id"]): r["hamming"] for r in out.collect()}
+    assert pairs == {("a", "b"): 1}
+    assert len(handles) == 1 and handles[0].is_cached
+    for h in handles:
+        h.unpersist()
+    assert not handles[0].is_cached

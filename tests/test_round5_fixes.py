@@ -1,0 +1,124 @@
+"""Round-5 hardening regressions: per-thread FAIR pools, pipelined-verify
+exception safety + cross-job isolation, seen-compact pointer read races,
+and the bfs helper's cache release."""
+
+import json
+import os
+from concurrent.futures import Future
+
+import pytest
+from pyspark.sql import functions as F
+
+from distributed_web_crawler_spark.catalog.tables import JobStateStore
+from distributed_web_crawler_spark.fixtures import corpus as C
+from distributed_web_crawler_spark.plans.frontier import (
+    EngineConfig,
+    FrontierEngine,
+    _pool_submit,
+)
+
+
+def test_pool_submit_tags_fair_pools(spark):
+    """Each _POOL worker thread runs its Spark actions under its OWN
+    spark.scheduler.pool (auto-created pools fair-share against each
+    other); without the tag every concurrent job lands in the single
+    FIFO default pool and FAIR mode schedules exactly like FIFO."""
+    import threading
+
+    def probe():
+        return (
+            threading.current_thread().name,
+            spark.sparkContext.getLocalProperty("spark.scheduler.pool"),
+        )
+
+    results = [_pool_submit(spark, probe).result() for _ in range(8)]
+    for tname, pool in results:
+        assert pool == tname
+        assert tname.startswith("frontier-io")
+    # the main thread is NOT tagged — its jobs stay in the default pool
+    assert spark.sparkContext.getLocalProperty("spark.scheduler.pool") in (None, "default")
+
+
+def test_finalize_verify_discards_stale_job_entry(spark, tmp_path):
+    """An inflight verify stashed by a DIFFERENT job store (engine reuse
+    after a mid-crawl abort) must be drained + released, never finalized
+    into the new job's round dir."""
+    spec = C.CorpusSpec(n=50)
+    eng = FrontierEngine(spark, str(tmp_path / "wh"), str(tmp_path / "nope"), spec)
+    store_a = eng.store("job_a")
+    store_b = eng.store("job_b")
+    os.makedirs(store_a.round_dir(0), exist_ok=True)
+    os.makedirs(store_b.round_dir(0), exist_ok=True)
+    frame = spark.range(5).persist()
+    frame.count()
+    fut = Future()
+    fut.set_result({"n": 5.0})
+    eng._verify_inflight = (store_b.dir, 0, fut, [frame])
+    eng._finalize_verify(store_a)  # job_a's finalize sees job_b's entry
+    assert eng._verify_inflight is None
+    assert not frame.is_cached
+    assert not os.path.exists(os.path.join(store_a.round_dir(0), "verify.json"))
+    assert not os.path.exists(os.path.join(store_b.round_dir(0), "verify.json"))
+
+
+def test_run_round_failure_releases_caches(spark, corpus_1k, tmp_path, monkeypatch):
+    """A mid-round failure (commit refused) must drain the concurrent
+    verify future and unpersist every frame the round cached — the stash
+    only happens on the success path."""
+    spec, path = corpus_1k
+    eng = FrontierEngine(
+        spark,
+        str(tmp_path / "wh"),
+        path,
+        spec,
+        EngineConfig(verify_payloads=True, pipeline_verify=True),
+    )
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    calls = {"n": 0}
+    orig = JobStateStore.commit_round
+
+    def boom(self, r, info, touched_blooms=()):
+        calls["n"] += 1
+        raise RuntimeError("simulated commit failure")
+
+    monkeypatch.setattr(JobStateStore, "commit_round", boom)
+    seed = C.url_of(1, spec)
+    with pytest.raises(RuntimeError, match="simulated commit failure"):
+        eng.run_job("failjob", seed, depth=2)
+    monkeypatch.setattr(JobStateStore, "commit_round", orig)
+    assert calls["n"] == 1
+    assert eng._verify_inflight is None
+    after = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert after == before
+
+
+def test_read_seen_compact_tolerates_vanishing_and_corrupt_pointers(tmp_path):
+    """vacuum() deletes superseded pointer files concurrently with
+    readers; a vanished or torn pointer must be skipped, not crash the
+    seen scan. Corrupt file stands in for the vanish race (same handler)."""
+    store = JobStateStore(str(tmp_path / "wh"), "j")
+    os.makedirs(store.dir, exist_ok=True)
+    with open(os.path.join(store.dir, "seen_compact_v3.json"), "w") as f:
+        json.dump({"upto": 3, "path": "seen_compact/g3"}, f)
+    with open(os.path.join(store.dir, "seen_compact_v5.json"), "w") as f:
+        f.write("{ torn write")
+    sc = store.read_seen_compact()
+    assert sc == {"upto": 3, "path": "seen_compact/g3"}
+
+
+def test_bfs_releases_interim_caches(spark):
+    """bfs() must not pin O(depth) persisted generations: after it
+    returns, only the final self-contained result may hold storage."""
+    from distributed_web_crawler_spark.operators.bfs import bfs
+
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    edges = spark.createDataFrame(
+        [(f"u{i}", f"u{i + 1}") for i in range(20)], ["src", "dst"]
+    )
+    seed = spark.createDataFrame([("u0",)], ["url"])
+    out = bfs(edges, seed, max_depth=10, checkpoint_every=3)
+    got = {r["url"]: r["depth"] for r in out.collect()}
+    assert got == {f"u{i}": i for i in range(11)}
+    after = spark.sparkContext._jsc.getPersistentRDDs().size()
+    # the returned localCheckpoint is the only storage allowed to remain
+    assert after <= before + 1

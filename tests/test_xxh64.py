@@ -29,3 +29,26 @@ def test_unsigned_signed_consistency():
     for v in ["q", "42:deg:5", "zz" * 40]:
         u, s = xxh64(v), xxh64_signed(v)
         assert u % (1 << 64) == s % (1 << 64)
+
+
+def test_u8mat_parity_all_length_classes():
+    """Vectorized row-wise XXH64 is bit-identical to the scalar reference
+    on every chunk-path class (empty, tail-only, 4-byte, 8-byte, 32-byte
+    stripes and mixes)."""
+    import random
+
+    import numpy as np
+
+    from distributed_web_crawler_spark.functions.xxh64 import xxh64_u8mat
+
+    rng = random.Random(7)
+    for L in (0, 1, 3, 4, 7, 8, 12, 15, 16, 31, 32, 33, 40, 63, 64, 65, 100):
+        keys = [bytes(rng.randrange(256) for _ in range(L)) for _ in range(13)]
+        mat = (
+            np.frombuffer(b"".join(keys), np.uint8).reshape(13, L)
+            if L
+            else np.zeros((13, 0), np.uint8)
+        )
+        got = xxh64_u8mat(mat)
+        exp = np.array([xxh64(k) for k in keys], np.uint64)
+        assert (got == exp).all(), L
