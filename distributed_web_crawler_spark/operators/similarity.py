@@ -182,17 +182,45 @@ def write_bucket_partitioned(
     (lsh_bucket / query_bucket), so a probe set computed from the query
     selects exactly the right partition directories. One file per bucket:
     repartition BY the partition column before partitionBy, else every
-    input partition writes a file per bucket (memory: tiny-file trap)."""
-    emb = embeddings.select(
-        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("embedding")
+    input partition writes a file per bucket (memory: tiny-file trap).
+
+    Buckets are assigned by the SAME Arrow-batched numpy sign-matmul as
+    _bucket_restrict (identical 6-dp-rounded double arithmetic) — the
+    lsh_bucket expression form would inline 8 × 64-double literal dot
+    products and pay seconds of Catalyst codegen per plan, dwarfing the
+    actual data work (same pitfall as band_keys' docstring)."""
+    import numpy as np
+
+    pm = np.array([hyperplane(dim, p) for p in range(n_planes)]).T  # (dim, P)
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+
+    def assign(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            E = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+            pdf = pdf.copy()
+            pdf["embedding"] = [list(map(float, r)) for r in E]
+            pdf["bucket"] = ((np.round(E @ pm, 6) > 0).astype(np.int64) @ weights).astype(np.int32)
+            yield pdf
+
+    df = embeddings.select("vec_id", "embedding").mapInPandas(
+        assign, schema="vec_id long, embedding array<double>, bucket int"
     )
-    (
-        lsh_bucket(emb, dim, n_planes)
-        .repartition(F.col("bucket"))
-        .write.partitionBy("bucket")
-        .mode("overwrite")
-        .parquet(path)
-    )
+    spark = embeddings.sparkSession
+    coalesce_flag = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    # keep the layout write PARALLEL: at test scale the bucket shuffle is
+    # tiny and AQE coalesces it to ONE task, which then opens the 2^planes
+    # per-bucket parquet writers serially — pure committer latency (~5 s
+    # for 2 k rows). One writer task per shuffle partition is also the
+    # only shape that works at 10^10 vectors.
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        df.repartition(F.col("bucket")).write.partitionBy("bucket").mode("overwrite").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", coalesce_flag)
 
 
 def ann_topk_partitioned(
