@@ -129,15 +129,27 @@ def changes_pdf(
 
 
 def _cell_eq(x, y) -> bool:
+    import numpy as np
+
     try:
         if pd.isna(x) and pd.isna(y):
             return True
     except (TypeError, ValueError):
         pass  # non-scalar cell: isna is elementwise, fall through to ==
-    r = x == y
-    import numpy as np
-
-    return bool(np.all(r)) if isinstance(r, np.ndarray) else bool(r)
+    try:
+        r = x == y
+    except Exception:
+        return False
+    if isinstance(r, np.ndarray):
+        # array-valued cell: keep NaN == NaN semantics PER ELEMENT too
+        # (np.array([nan, 1.0]) in both snapshots is unchanged, not a
+        # phantom update on every version step)
+        try:
+            r = r | (pd.isna(x) & pd.isna(y))
+        except (TypeError, ValueError):
+            pass
+        return bool(np.all(r))
+    return bool(r)
 
 
 def _rows_equal(a: pd.DataFrame, b: pd.DataFrame):

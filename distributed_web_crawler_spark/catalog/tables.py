@@ -269,29 +269,47 @@ class JobStateStore:
         """{"upto": r, "path": relpath} of the live compaction, or None —
         the HIGHEST-upto published pointer file (see set_seen_compact's
         append-only scheme); the legacy single seen_compact.json (pre-r4
-        stores) participates with its own upto."""
-        best = None
-        try:
-            with open(os.path.join(self.dir, "seen_compact.json")) as f:
-                best = json.load(f)
-        except FileNotFoundError:
-            pass
-        if os.path.isdir(self.dir):
-            for nm in os.listdir(self.dir):
-                if nm.startswith("seen_compact_v") and nm.endswith(".json"):
-                    # vacuum() DELETES superseded pointer files, so a file
-                    # listed here may be gone (or two vacuums may race each
-                    # other's unlink) by the time we open it — a vanished
-                    # pointer is by construction superseded, so skipping it
-                    # never changes the max-upto winner
-                    try:
-                        with open(os.path.join(self.dir, nm)) as f:
-                            cand = json.load(f)
-                    except (FileNotFoundError, json.JSONDecodeError):
-                        continue
-                    if best is None or cand["upto"] > best["upto"]:
-                        best = cand
-        return best
+        stores) participates with its own upto.
+
+        Race handling: vacuum() deletes superseded pointer files, so a
+        file from this listing may be GONE by the time it is opened. A
+        pointer only vanishes when a strictly NEWER one was published
+        (vacuum never unlinks the max-upto winner), but that newer pointer
+        is not necessarily in the SAME listing snapshot — skipping the
+        vanished file without rescanning could return None / a stale max
+        and silently shrink the visible seen set (the deltas it covered
+        may already be vacuumed). So a vanish RESTARTS the scan; each
+        restart implies a strictly higher published upto, so the loop
+        terminates (bounded here as a belt against pathological churn)."""
+        for _ in range(16):
+            best = None
+            try:
+                with open(os.path.join(self.dir, "seen_compact.json")) as f:
+                    best = json.load(f)
+            except FileNotFoundError:
+                pass
+            vanished = False
+            if os.path.isdir(self.dir):
+                for nm in os.listdir(self.dir):
+                    if nm.startswith("seen_compact_v") and nm.endswith(".json"):
+                        try:
+                            with open(os.path.join(self.dir, nm)) as f:
+                                cand = json.load(f)
+                        except FileNotFoundError:
+                            vanished = True
+                            break
+                        except json.JSONDecodeError:
+                            # torn/garbage pointer: never produced by the
+                            # atomic link scheme, so not a race — skip it
+                            continue
+                        if best is None or cand["upto"] > best["upto"]:
+                            best = cand
+            if not vanished:
+                return best
+        raise RuntimeError(
+            f"seen-compact pointers in {self.dir!r} kept vanishing across 16 "
+            "rescans — vacuum churn beyond any legitimate compaction rate"
+        )
 
     def set_seen_compact(self, upto: int, relpath: str) -> bool:
         """Publish a seen-compaction pointer — MONOTONIC BY CONSTRUCTION.

@@ -23,21 +23,25 @@ from pyspark.sql import DataFrame, functions as F
 
 def _local_checkpoint(df: DataFrame, tracked: list) -> DataFrame:
     """Eager localCheckpoint that CAPTURES the checkpoint's block-holding
-    RDD handles into `tracked`. DataFrame.unpersist releases only the
+    RDD handle into `tracked`. DataFrame.unpersist releases only the
     CacheManager entry — a localCheckpoint's materialized blocks are an
     RDD-level cache that survives it — so superseded generations must be
-    dropped through these handles or a deep crawl accumulates O(depth)
-    checkpoint block sets."""
-    jsc = df.sparkSession.sparkContext._jsc
-    before = set(jsc.getPersistentRDDs().keys())
+    dropped through this handle or a deep crawl accumulates O(depth)
+    checkpoint block sets. The handle is read off the checkpointed frame's
+    own LogicalRDD (never by diffing the context-global persistent-RDD
+    map, which would capture — and later unpersist — frames a CONCURRENT
+    thread persisted; for another localCheckpoint holder those blocks are
+    its only data source). Releasing a handle makes ITS frame
+    unrecoverable, so callers release only strictly-superseded
+    generations."""
     out = df.localCheckpoint()
-    tracked.extend(r for rid, r in jsc.getPersistentRDDs().items() if rid not in before)
+    tracked.append(out._jdf.queryExecution().logical().rdd())
     return out
 
 
 def _release(handles: list) -> None:
     for h in handles:
-        h.unpersist()
+        h.unpersist(False)
     handles.clear()
 
 

@@ -209,18 +209,18 @@ def write_bucket_partitioned(
     df = embeddings.select("vec_id", "embedding").mapInPandas(
         assign, schema="vec_id long, embedding array<double>, bucket int"
     )
-    spark = embeddings.sparkSession
-    coalesce_flag = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
-    # keep the layout write PARALLEL: at test scale the bucket shuffle is
-    # tiny and AQE coalesces it to ONE task, which then opens the 2^planes
+    # keep the layout write PARALLEL: with repartition(col) alone, a tiny
+    # bucket shuffle gets AQE-coalesced to ONE task that opens the 2^planes
     # per-bucket parquet writers serially — pure committer latency (~5 s
-    # for 2 k rows). One writer task per shuffle partition is also the
-    # only shape that works at 10^10 vectors.
-    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
-    try:
-        df.repartition(F.col("bucket")).write.partitionBy("bucket").mode("overwrite").parquet(path)
-    finally:
-        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", coalesce_flag)
+    # for 2 k rows). Pinning an explicit partition COUNT opts the exchange
+    # out of AQE coalescing (user-specified repartitions are never
+    # coalesced) without touching any session-global conf, which a
+    # concurrent job would otherwise observe mid-flight. One writer task
+    # per shuffle partition is also the only shape at 10^10 vectors.
+    n_writers = embeddings.sparkSession.sparkContext.defaultParallelism
+    df.repartition(n_writers, F.col("bucket")).write.partitionBy("bucket").mode(
+        "overwrite"
+    ).parquet(path)
 
 
 def ann_topk_partitioned(

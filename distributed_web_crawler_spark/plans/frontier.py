@@ -63,7 +63,7 @@ FRONTIER_SCHEMA = "url string, host string, url_hash bigint, seen_bucket int, de
 _POOL = ThreadPoolExecutor(max_workers=4, thread_name_prefix="frontier-io")
 
 
-def _pool_submit(spark: SparkSession, fn, *args):
+def _pool_submit(spark: SparkSession, fn, *args, group: str | None = None):
     """Submit a Spark action to _POOL under a PER-THREAD FAIR scheduler
     pool. spark.scheduler.mode=FAIR (session.py) only arbitrates BETWEEN
     pools; with no allocation file every job lands in the single default
@@ -73,14 +73,19 @@ def _pool_submit(spark: SparkSession, fn, *args):
     property puts concurrent jobs in DISTINCT auto-created pools (weight 1,
     minShare 0), which the FAIR root genuinely round-robins. Local
     properties are per-Python-thread under PySpark's pinned-thread mode and
-    setting is idempotent, so re-tagging on every submit is cheap."""
+    setting is idempotent, so re-tagging on every submit is cheap.
+
+    `group` additionally tags the action's Spark jobs with a job-group id
+    so a failing round can CANCEL them (sc.cancelJobGroup) instead of
+    blocking its cleanup path behind a full verify run; the tag is cleared
+    when unset so a reused worker thread never inherits a stale group."""
 
     def run():
         import threading
 
-        spark.sparkContext.setLocalProperty(
-            "spark.scheduler.pool", threading.current_thread().name
-        )
+        sc = spark.sparkContext
+        sc.setLocalProperty("spark.scheduler.pool", threading.current_thread().name)
+        sc.setLocalProperty("spark.jobGroup.id", group)
         return fn(*args)
 
     return _POOL.submit(run)
@@ -420,26 +425,37 @@ class FrontierEngine:
         drained and discarded, never finalized into this store."""
         if self._verify_inflight is None:
             return
-        sdir, r0, fut, frames = self._verify_inflight
+        own_store, r0, fut, frames = self._verify_inflight
         self._verify_inflight = None
-        if sdir != store.dir:
+        if own_store.dir != store.dir:
             # stale entry from a DIFFERENT job whose run_job aborted
-            # mid-round (a reused engine): finalizing it here would write
-            # verify.json into the WRONG job's round dir. Drain + release
-            # only; surface the outcome as a warning attributed to its own
-            # store rather than raising into an unrelated job.
+            # mid-round (a reused engine): it must not be finalized into
+            # THIS job's round dir. Drain + release, then — the round it
+            # belongs to is already committed — record a SUCCESSFUL result
+            # as verify.json in its OWN store (losing it would make
+            # payload_stats() silently report the round as never verified);
+            # a failure becomes a warning attributed to its own store
+            # rather than an exception raised into an unrelated job.
+            stale_stats = None
             try:
-                fut.result()
+                stale_stats = fut.result()
             except Exception as e:  # pragma: no cover - needs a failing stale verify
                 import warnings
 
                 warnings.warn(
-                    f"discarded pipelined verify for aborted job at {sdir!r} "
-                    f"round {r0}: {e!r}"
+                    f"discarded pipelined verify for aborted job at "
+                    f"{own_store.dir!r} round {r0}: {e!r}"
                 )
             finally:
                 for df_ in frames:
                     df_.unpersist()
+            if stale_stats and os.path.isdir(own_store.round_dir(r0)):
+                _atomic_write(
+                    os.path.join(own_store.round_dir(r0), "verify.json"),
+                    json.dumps(
+                        {k: (float(v) if v is not None else None) for k, v in stale_stats.items()}
+                    ).encode(),
+                )
             return
         try:
             stats = fut.result()
@@ -694,7 +710,9 @@ class FrontierEngine:
                         stats["verify_wall_ms"] = round((time.monotonic() - t0) * 1000)
                     return stats
 
-                payload_future = _pool_submit(self.spark, _verify)
+                payload_future = _pool_submit(
+                    self.spark, _verify, group=f"verify:{store.dir}:r{r}"
+                )
             t = _mark("fetch_submit_ms", t)
 
             # ---- extract + dedup + seen anti-join + robots (skip at last depth, F4)
@@ -742,6 +760,7 @@ class FrontierEngine:
                     self.spark,
                     self._write_bucketed, store, store.deferred_path(r), deferred_sched, None, "due",
                     n_deferred,
+                    group=f"defwrite:{store.dir}:r{r}",
                 )
                 if n_deferred > 0
                 else None
@@ -822,7 +841,7 @@ class FrontierEngine:
             if self.cfg.pipeline_verify and payload_future is not None:
                 # stash AFTER commit: the finalize (next round / job end) writes
                 # the stats sidecar into this round's already-committed dir
-                self._verify_inflight = (store.dir, r, payload_future, persisted)
+                self._verify_inflight = (store, r, payload_future, persisted)
             return RoundStats(
                 round=r,
                 depth=int(d),
@@ -839,8 +858,16 @@ class FrontierEngine:
             # concurrent jobs or cached frames: the verify/deferred futures
             # would otherwise run unobserved (and their persisted inputs
             # stay pinned forever — _verify_inflight is only stashed on the
-            # success path, AFTER commit). Drain, release, re-raise; the
-            # futures' own outcomes are moot once the round failed.
+            # success path, AFTER commit). CANCEL their Spark jobs first —
+            # the verify is the round's longest job and an interrupt
+            # (Ctrl-C, timeout) must not block its own cleanup behind a
+            # full verify run — then drain, release, re-raise; the futures'
+            # own outcomes are moot once the round failed.
+            for g in (f"verify:{store.dir}:r{r}", f"defwrite:{store.dir}:r{r}"):
+                try:
+                    self.spark.sparkContext.cancelJobGroup(g)
+                except Exception:  # pragma: no cover - cancellation is best-effort
+                    pass
             for fut in (payload_future, deferred_future):
                 if fut is not None:
                     try:

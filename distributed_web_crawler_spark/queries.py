@@ -254,12 +254,27 @@ def q_ann_topk_partitioned(spark, sf_dir):
     a temp cache (the one-time rewrite_data_files analog); the oracle is
     ann_topk's — identical results, different physical plan."""
     import hashlib
+    import shutil
     import tempfile
 
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    # cache key = source identity + CONTENT fingerprint (mtime+size): a
+    # regenerated sf_dir at the same path must rebuild, not silently score
+    # against the old layout. Build into a unique staging dir and publish
+    # by atomic rename so concurrent processes never overwrite each other
+    # (loser discards its staging).
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    tag = hashlib.md5(
+        f"{os.path.abspath(src)}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:12]
     path = os.path.join(tempfile.gettempdir(), f"ann_bucketed_{tag}_p{N_PLANES}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        S.write_bucket_partitioned(_t(spark, sf_dir, "embeddings"), path, EMB_DIM, N_PLANES)
+        staging = f"{path}.tmp{os.getpid()}"
+        S.write_bucket_partitioned(_t(spark, sf_dir, "embeddings"), staging, EMB_DIM, N_PLANES)
+        try:
+            os.rename(staging, path)
+        except OSError:  # another process published first — keep the winner
+            shutil.rmtree(staging, ignore_errors=True)
     return S.ann_topk_partitioned(
         spark, path, _query_vec(spark, sf_dir), EMB_DIM, k=10, n_planes=N_PLANES, n_flip=N_FLIP
     )

@@ -132,3 +132,18 @@ def test_non_scalar_cells_do_not_crash(tmp_path):
     v2 = pdf[pdf["_version"] == 2]
     ops = list(zip(v2["_op"], v2["k"]))
     assert ops == [("update_pre", "b"), ("update_post", "b")]
+
+
+def test_array_cells_with_nan_are_not_phantom_updates(tmp_path):
+    """NaN == NaN must hold inside array-valued cells too: an unchanged
+    np.array([nan, 1.0]) cell must not emit update pairs every step."""
+    import numpy as np
+    import pandas as pd
+
+    t = AtomicTable(str(tmp_path), "tt")
+    _commit_pdf(t, pd.DataFrame({"k": ["a"], "v": [[np.nan, 1.0]]}))
+    _commit_pdf(t, pd.DataFrame({"k": ["a"], "v": [[np.nan, 1.0]]}))
+    _commit_pdf(t, pd.DataFrame({"k": ["a"], "v": [[np.nan, 2.0]]}))
+    pdf = changes_pdf(t, key="k")
+    assert list(pdf[pdf["_version"] == 2]["_op"]) == []  # unchanged
+    assert list(pdf[pdf["_version"] == 3]["_op"]) == ["update_pre", "update_post"]

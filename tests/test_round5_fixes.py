@@ -39,10 +39,14 @@ def test_pool_submit_tags_fair_pools(spark):
     assert spark.sparkContext.getLocalProperty("spark.scheduler.pool") in (None, "default")
 
 
-def test_finalize_verify_discards_stale_job_entry(spark, tmp_path):
+def test_finalize_verify_routes_stale_job_entry_to_its_own_store(spark, tmp_path):
     """An inflight verify stashed by a DIFFERENT job store (engine reuse
-    after a mid-crawl abort) must be drained + released, never finalized
-    into the new job's round dir."""
+    after a mid-crawl abort) must be drained + released and its SUCCESSFUL
+    stats written to ITS OWN round dir — never finalized into the new
+    job's round dir, never silently lost (its round is already committed
+    and payload_stats() must still see it as verified)."""
+    import json as _json
+
     spec = C.CorpusSpec(n=50)
     eng = FrontierEngine(spark, str(tmp_path / "wh"), str(tmp_path / "nope"), spec)
     store_a = eng.store("job_a")
@@ -53,12 +57,13 @@ def test_finalize_verify_discards_stale_job_entry(spark, tmp_path):
     frame.count()
     fut = Future()
     fut.set_result({"n": 5.0})
-    eng._verify_inflight = (store_b.dir, 0, fut, [frame])
+    eng._verify_inflight = (store_b, 0, fut, [frame])
     eng._finalize_verify(store_a)  # job_a's finalize sees job_b's entry
     assert eng._verify_inflight is None
     assert not frame.is_cached
     assert not os.path.exists(os.path.join(store_a.round_dir(0), "verify.json"))
-    assert not os.path.exists(os.path.join(store_b.round_dir(0), "verify.json"))
+    with open(os.path.join(store_b.round_dir(0), "verify.json")) as f:
+        assert _json.load(f) == {"n": 5.0}
 
 
 def test_run_round_failure_releases_caches(spark, corpus_1k, tmp_path, monkeypatch):
