@@ -84,7 +84,16 @@ def _pool_submit(spark: SparkSession, fn, *args, group: str | None = None):
         import threading
 
         sc = spark.sparkContext
-        sc.setLocalProperty("spark.scheduler.pool", threading.current_thread().name)
+        # SPARK_GRAFT_SHARED_POOL=1 collapses every engine thread into one
+        # pool (FIFO-vs-FAIR A/B knob for the scaling campaign: fair
+        # time-slicing of verify ∥ extract ∥ write trades slot fairness
+        # for memory-bandwidth locality on a single box)
+        pool = (
+            "frontier-shared"
+            if os.environ.get("SPARK_GRAFT_SHARED_POOL")
+            else threading.current_thread().name
+        )
+        sc.setLocalProperty("spark.scheduler.pool", pool)
         sc.setLocalProperty("spark.jobGroup.id", group)
         return fn(*args)
 
