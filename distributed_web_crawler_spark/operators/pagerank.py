@@ -1,0 +1,99 @@
+"""PageRank power iteration over an edge DataFrame — the crawl-frontier
+PRIORITIZATION signal (generalizes the reference's FIFO drain order,
+master.go job queue: a production crawler drains high-rank hosts/pages
+first — in this engine that means ordering a depth's pending set by a
+precomputed rank column instead of politeness.py's url_hash order; the
+window/budget mechanics are unchanged by WHAT the order key is).
+
+Semantics: the classic simple power iteration,
+    rank_{t+1}(v) = (1-d)/N + d * Σ_{u→v} rank_t(u) / outdeg(u)
+over N = |distinct nodes|; dangling mass is dropped (the Spark-examples
+variant), so ranks need not sum to 1 — callers ranking a frontier only
+need the ORDER. Deterministic across engines at 6 dp (the DuckDB oracle
+renders the identical iteration as chained CTEs; float association noise
+is ~1e-15 relative, far below the rounding).
+
+Scale shape (100 TB): `edges` is joined BY src every iteration — a real
+deployment pre-partitions/buckets the edge table on src once so every
+iteration's join is co-located (same discipline as plans/frontier's
+bucketed seen set); the per-iteration shuffle is then only the
+contribution aggregate keyed by dst. The out-degree table rides inside
+the same persisted edge projection (degree join, broadcastable when the
+host graph is small). Iteration state is one (node, rank) frame,
+persisted per step and released when superseded — lineage is truncated
+with the same tracked localCheckpoint used by operators/bfs.py, so deep
+iteration counts neither grow plans nor pin O(iters) caches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .bfs import _local_checkpoint, _release
+
+
+def pagerank(
+    edges: DataFrame,
+    n_iters: int = 3,
+    damping: float = 0.85,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """edges: (src string, dst string), duplicates allowed (parallel edges
+    contribute multiplicity, matching the SQL oracle). Returns
+    (url string, rank double) for every node, rank UNROUNDED — callers
+    compare/rank on a rounded projection."""
+    edges = edges.persist()
+    nodes = (
+        edges.select(F.col("src").alias("url"))
+        .unionByName(edges.select(F.col("dst").alias("url")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()  # materializes both persisted frames
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg")).persist()
+    # contribution edges with the degree folded in: built once, reused by
+    # every iteration (at scale: bucketed by src, degree join co-located)
+    contrib_edges = edges.join(deg, "src").select(
+        "src", "dst", (F.lit(1.0) / F.col("outdeg")).alias("w")
+    ).persist()
+    contrib_edges.count()
+    edges.unpersist()
+    deg.unpersist()
+
+    base = (1.0 - damping) / n
+    ranks = nodes.select("url", F.lit(1.0 / n).alias("rank")).persist()
+    handles = [ranks]
+    cp_blocks: list = []
+    for it in range(1, n_iters + 1):
+        contribs = (
+            contrib_edges.join(ranks.withColumnRenamed("url", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") * F.col("w")).alias("inflow"))
+        )
+        ranks = (
+            nodes.join(contribs.withColumnRenamed("dst", "url"), "url", "left")
+            .select(
+                "url",
+                (F.lit(base) + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0))).alias(
+                    "rank"
+                ),
+            )
+        )
+        if it % checkpoint_every == 0:
+            prior = list(cp_blocks)
+            cp_blocks.clear()
+            ranks = _local_checkpoint(ranks, cp_blocks)
+            for h in handles:
+                h.unpersist()
+            handles = []
+            _release(prior)
+        ranks = ranks.persist()
+        handles.append(ranks)
+    final_blocks: list = []
+    out = _local_checkpoint(ranks, final_blocks)
+    for h in handles:
+        h.unpersist()
+    _release(cp_blocks)
+    nodes.unpersist()
+    contrib_edges.unpersist()
+    return out

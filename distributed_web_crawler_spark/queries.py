@@ -58,6 +58,29 @@ def q_bfs_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bfs(edges, seed, BFS_DEPTH).select("url", F.col("depth").cast("int").alias("depth"))
 
 
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frontier prioritization signal: 3-step PageRank power iteration
+    over the same bidirectional order↔part graph as bfs_frontier
+    (operators/pagerank.py; the oracle renders the identical iteration as
+    chained CTEs). A production crawler drains high-rank pages first —
+    this rank column is the drop-in replacement for the url_hash order
+    key in a priority-drain variant of the politeness schedule."""
+    from .operators.pagerank import pagerank
+
+    li = _t(spark, sf_dir, "lineitem")
+    fwd = li.select(
+        F.concat(F.lit("o"), F.col("l_orderkey")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"),
+    )
+    edges = fwd.unionByName(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    pr = pagerank(edges, n_iters=PAGERANK_ITERS, damping=PAGERANK_D)
+    return pr.select("url", F.round("rank", 6).alias("rank"))
+
+
+PAGERANK_ITERS = 3
+PAGERANK_D = 0.85
+
+
 def q_frontier_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("cust_id")).distinct()
     seen = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 5000).select(
@@ -805,6 +828,39 @@ SELECT rank, vec_id, sim_bucket FROM ranked WHERE rank <= 10"""
 # of a per-row bucket map) — the oracle is deliberately shared
 ORACLE_SQL["ann_topk_partitioned"] = ORACLE_SQL["ann_topk"]
 
+
+def _pagerank_oracle_sql(n_iters: int, d: float) -> str:
+    """The pagerank() iteration rendered as chained CTEs: same node set,
+    same per-edge 1/outdeg weights, same (1-d)/N + d*inflow update, same
+    dangling-mass-drop semantics, rounded to 6 dp at the end."""
+    sql = f"""WITH edges AS (
+  SELECT concat('o', l_orderkey) AS src, concat('p', l_partkey) AS dst FROM lineitem
+  UNION ALL
+  SELECT concat('p', l_partkey), concat('o', l_orderkey) FROM lineitem
+),
+nodes AS (SELECT DISTINCT src AS url FROM edges UNION SELECT DISTINCT dst FROM edges),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+ce AS (
+  SELECT e.src, e.dst, 1.0 / dg.c AS w
+  FROM edges e JOIN (SELECT src, CAST(count(*) AS DOUBLE) AS c FROM edges GROUP BY src) dg USING (src)
+),
+r0 AS (SELECT url, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)"""
+    for t in range(1, n_iters + 1):
+        sql += f""",
+r{t} AS (
+  SELECT no.url,
+         (1 - {d}) / (SELECT n FROM nn)
+         + {d} * coalesce(sum(ce.w * r{t - 1}.rank), 0) AS rank
+  FROM nodes no
+  LEFT JOIN ce ON ce.dst = no.url
+  LEFT JOIN r{t - 1} ON r{t - 1}.url = ce.src
+  GROUP BY no.url
+)"""
+    return sql + f"\nSELECT url, round(rank, 6) AS rank FROM r{n_iters}"
+
+
+ORACLE_SQL["pagerank"] = _pagerank_oracle_sql(PAGERANK_ITERS, PAGERANK_D)
+
 def _ivf_dots_sql(vec_expr: str) -> str:
     """Per-centroid rounded dot products of a DOUBLE[] expression — the
     centroids are the SAME md5-derived codebook the Spark operator uses
@@ -1196,6 +1252,7 @@ FROM v1 a JOIN v2 b USING (o_orderkey) WHERE a.o_orderstatus <> b.o_orderstatus"
 def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bfs_frontier": q_bfs_frontier,
+        "pagerank": q_pagerank,
         "frontier_anti_join": q_frontier_anti_join,
         "depth_collect": q_depth_collect,
         "recovery_scan": q_recovery_scan,

@@ -44,6 +44,10 @@ AUDITS = {
         "TakeOrderedAndProject",
     ],
     "ann_topk": ["TakeOrderedAndProject"],
+    # the returned rank frame must be CHECKPOINTED state (bounded lineage
+    # — a raw 3-iteration plan here would mean the state discipline broke);
+    # the per-iteration join/agg runs eagerly inside pagerank()
+    "pagerank": ["Scan ExistingRDD"],
     # bucket-as-partition-key layout: the probe set must reach the scan as
     # a PARTITION filter (directory pruning), not a post-scan filter
     "ann_topk_partitioned": ["TakeOrderedAndProject", "PartitionFilters: [bucket"],
@@ -59,6 +63,7 @@ FORBIDDEN = {
     # all-pairs regression the banded designs exist to prevent
     "image_neardup": ["CartesianProduct", "BroadcastNestedLoopJoin"],
     "minhash_signature": ["CartesianProduct"],
+    "pagerank": ["CartesianProduct", "BroadcastNestedLoopJoin"],
 }
 
 

@@ -1,0 +1,41 @@
+"""pagerank() semantics: hand-computed tiny graph, dangling handling,
+cache release (iterative-state discipline shared with bfs)."""
+
+from distributed_web_crawler_spark.operators.pagerank import pagerank
+
+
+def test_matches_hand_computation(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a")], ["src", "dst"]
+    )
+    got = {r["url"]: r["rank"] for r in pagerank(edges, n_iters=2, damping=0.85).collect()}
+    r = {"a": 1 / 3, "b": 1 / 3, "c": 1 / 3}
+    for _ in range(2):
+        base = 0.15 / 3
+        inflow = {"b": r["a"] / 2, "c": r["a"] / 2 + r["b"], "a": r["c"]}
+        r = {v: base + 0.85 * inflow.get(v, 0.0) for v in "abc"}
+    assert got.keys() == r.keys()
+    for v in r:
+        assert abs(got[v] - r[v]) < 1e-12
+
+
+def test_dangling_mass_drops_and_sink_nodes_keep_base(spark):
+    # b is a sink (no out-edges): its mass vanishes, it still receives
+    # inflow; a node with no in-edges bottoms out at (1-d)/N
+    edges = spark.createDataFrame([("a", "b"), ("c", "b")], ["src", "dst"])
+    got = {r["url"]: r["rank"] for r in pagerank(edges, n_iters=3, damping=0.85).collect()}
+    base = 0.15 / 3
+    assert abs(got["a"] - base) < 1e-12  # no in-edges after iter 1
+    assert abs(got["c"] - base) < 1e-12
+    assert got["b"] > got["a"]
+
+
+def test_iteration_state_releases_caches(spark):
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    edges = spark.createDataFrame(
+        [(f"u{i}", f"u{(i * 7 + 1) % 20}") for i in range(20)], ["src", "dst"]
+    )
+    out = pagerank(edges, n_iters=12, checkpoint_every=4)
+    assert out.count() == 20
+    after = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert after <= before + 1  # only the returned checkpoint remains
