@@ -127,3 +127,15 @@ def test_bfs_releases_interim_caches(spark):
     after = spark.sparkContext._jsc.getPersistentRDDs().size()
     # the returned localCheckpoint is the only storage allowed to remain
     assert after <= before + 1
+
+
+def test_shared_pool_knob_collapses_pools(spark, monkeypatch):
+    """SPARK_GRAFT_SHARED_POOL=1 (the FIFO-vs-FAIR A/B knob for scaling
+    campaigns) routes every engine thread into one shared pool."""
+    monkeypatch.setenv("SPARK_GRAFT_SHARED_POOL", "1")
+
+    def probe():
+        return spark.sparkContext.getLocalProperty("spark.scheduler.pool")
+
+    pools = {_pool_submit(spark, probe).result() for _ in range(6)}
+    assert pools == {"frontier-shared"}
