@@ -131,6 +131,10 @@ def changes_pdf(
 def _cell_eq(x, y) -> bool:
     import numpy as np
 
+    if x is y:
+        # identity short-circuit: keeps reference-identical cells stable
+        # even for types whose __eq__ raises
+        return True
     try:
         if pd.isna(x) and pd.isna(y):
             return True
@@ -139,11 +143,15 @@ def _cell_eq(x, y) -> bool:
     try:
         r = x == y
     except Exception:
+        # a raising __eq__ cannot prove equality — report changed
         return False
     if isinstance(r, np.ndarray):
-        # array-valued cell: keep NaN == NaN semantics PER ELEMENT too
-        # (np.array([nan, 1.0]) in both snapshots is unchanged, not a
-        # phantom update on every version step)
+        # array-valued cell: shapes must match (a broadcastable == would
+        # let an all-NaN array compare equal to a scalar NaN), and NaN ==
+        # NaN holds PER ELEMENT (np.array([nan, 1.0]) in both snapshots
+        # is unchanged, not a phantom update on every version step)
+        if np.shape(x) != np.shape(y):
+            return False
         try:
             r = r | (pd.isna(x) & pd.isna(y))
         except (TypeError, ValueError):

@@ -45,6 +45,66 @@ def _release(handles: list) -> None:
     handles.clear()
 
 
+def release_checkpoint(df: DataFrame) -> None:
+    """Release the block RDD backing a frame returned by bfs()/pagerank()
+    (any localCheckpointed frame). Those blocks are the frame's ONLY data
+    source — it is unusable afterwards. Callers that are done with a
+    result should release it explicitly rather than leaving it to the
+    async ContextCleaner, whose GC-timed unpersist races any test or
+    monitor that reads the context's persistent-RDD accounting."""
+    df._jdf.queryExecution().logical().rdd().unpersist(False)
+
+
+class IterationState:
+    """Cache/lineage discipline for ITERATIVE DataFrame algorithms (bfs,
+    pagerank, future label-propagation variants): the per-step state frame
+    is persisted; every `checkpoint_every` steps it is localCheckpointed
+    (eager — detaches from all earlier cached generations), the superseded
+    persisted frames AND the previous checkpoint's block RDDs are
+    released, and `finish()` hands back a self-contained checkpointed
+    frame with every interim handle dropped. One shared implementation:
+    the subtle cache-lifetime bugs of round 5 all lived in hand-rolled
+    copies of this skeleton."""
+
+    def __init__(self, checkpoint_every: int):
+        self.checkpoint_every = max(1, int(checkpoint_every))
+        self._handles: list = []  # persisted generations since last checkpoint
+        self._cp_blocks: list = []  # live checkpoint's block RDD handles
+
+    def track(self, df: DataFrame) -> DataFrame:
+        """Register an auxiliary persisted frame for release at the next
+        checkpoint (bfs's per-round `nxt`)."""
+        self._handles.append(df)
+        return df
+
+    def step(self, df: DataFrame, it: int) -> DataFrame:
+        """Advance to state `df` at step `it` (1-based): checkpoint +
+        release superseded generations on schedule, persist otherwise.
+        The returned frame is the one to build step it+1 from."""
+        if it % self.checkpoint_every == 0:
+            prior = list(self._cp_blocks)
+            self._cp_blocks.clear()
+            df = _local_checkpoint(df, self._cp_blocks)
+            for h in self._handles:
+                h.unpersist()
+            self._handles = []
+            _release(prior)
+        df = df.persist()
+        self._handles.append(df)
+        return df
+
+    def finish(self, df: DataFrame) -> DataFrame:
+        """Materialize `df` as a self-contained checkpointed frame and
+        release every interim handle — callers get a result that neither
+        recomputes nor pins caches."""
+        out = _local_checkpoint(df, [])
+        for h in self._handles:
+            h.unpersist()
+        self._handles = []
+        _release(self._cp_blocks)
+        return out
+
+
 def bfs(edges: DataFrame, seed: DataFrame, max_depth: int, checkpoint_every: int = 4) -> DataFrame:
     """edges: (src string, dst string); seed: (url string) single row.
     Returns (url string, depth int) — first-discovery depth per reached node,
@@ -57,12 +117,11 @@ def bfs(edges: DataFrame, seed: DataFrame, max_depth: int, checkpoint_every: int
     flips to the frontier-engine path (bucketed edges + shuffled hash join
     + Bloom seen filters, plans/frontier.py)."""
     edges = edges.persist()
-    seen = seed.select(F.col("url"), F.lit(0).alias("depth")).persist()
+    st = IterationState(checkpoint_every)
+    seen = st.step(seed.select(F.col("url"), F.lit(0).alias("depth")), 1)
     frontier = seen
-    handles = [seen]  # persisted generations, released at each checkpoint
-    cp_blocks: list = []  # superseded localCheckpoint block RDD handles
     for d in range(1, max_depth + 1):
-        nxt = (
+        nxt = st.track(
             edges.join(F.broadcast(frontier.select(F.col("url").alias("src"))), "src")
             .select(F.col("dst").alias("url"))
             .dropDuplicates(["url"])
@@ -70,34 +129,15 @@ def bfs(edges: DataFrame, seed: DataFrame, max_depth: int, checkpoint_every: int
             .withColumn("depth", F.lit(d))
             .persist()
         )
-        handles.append(nxt)
         if nxt.isEmpty():
             break
-        seen = seen.unionByName(nxt)
         frontier = nxt
-        if d % checkpoint_every == 0:
-            # the eager localCheckpoint materializes `seen` independent of
-            # every earlier cached generation — release them all (plus the
-            # PREVIOUS checkpoint's blocks, now folded into this one); a
-            # deep crawl through this helper would otherwise pin O(depth)
-            # frames + checkpoints for its whole life. The next frontier is
-            # re-derived from the checkpointed seen so nothing re-computes.
-            prior_blocks = list(cp_blocks)
-            cp_blocks.clear()
-            seen = _local_checkpoint(seen, cp_blocks)
+        was_checkpoint = d % checkpoint_every == 0
+        seen = st.step(seen.unionByName(nxt), d)
+        if was_checkpoint:
+            # the checkpoint released `nxt` with the rest of its
+            # generation: re-derive the next frontier from the (cached)
+            # checkpointed seen so nothing recomputes
             frontier = seen.filter(F.col("depth") == d)
-            for h in handles:
-                h.unpersist()
-            handles = []
-            _release(prior_blocks)
-        seen = seen.persist()
-        handles.append(seen)
     edges.unpersist()
-    # hand back a self-contained materialized frame and drop every interim
-    # handle: callers get a result that neither recomputes nor pins caches
-    final_blocks: list = []
-    out = _local_checkpoint(seen, final_blocks)
-    for h in handles:
-        h.unpersist()
-    _release(cp_blocks)
-    return out
+    return st.finish(seen)

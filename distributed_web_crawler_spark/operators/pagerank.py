@@ -29,7 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from .bfs import _local_checkpoint, _release
+from .bfs import IterationState
 
 
 def pagerank(
@@ -50,6 +50,10 @@ def pagerank(
         .persist()
     )
     n = nodes.count()  # materializes both persisted frames
+    if n == 0:
+        edges.unpersist()
+        nodes.unpersist()
+        return edges.sparkSession.createDataFrame([], "url string, rank double")
     deg = edges.groupBy("src").agg(F.count("*").alias("outdeg")).persist()
     # contribution edges with the degree folded in: built once, reused by
     # every iteration (at scale: bucketed by src, degree join co-located)
@@ -61,39 +65,24 @@ def pagerank(
     deg.unpersist()
 
     base = (1.0 - damping) / n
-    ranks = nodes.select("url", F.lit(1.0 / n).alias("rank")).persist()
-    handles = [ranks]
-    cp_blocks: list = []
+    st = IterationState(checkpoint_every)
+    ranks = st.step(nodes.select("url", F.lit(1.0 / n).alias("rank")), 1)
     for it in range(1, n_iters + 1):
         contribs = (
             contrib_edges.join(ranks.withColumnRenamed("url", "src"), "src")
             .groupBy("dst")
             .agg(F.sum(F.col("rank") * F.col("w")).alias("inflow"))
         )
-        ranks = (
-            nodes.join(contribs.withColumnRenamed("dst", "url"), "url", "left")
-            .select(
+        ranks = st.step(
+            nodes.join(contribs.withColumnRenamed("dst", "url"), "url", "left").select(
                 "url",
                 (F.lit(base) + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0))).alias(
                     "rank"
                 ),
-            )
+            ),
+            it,
         )
-        if it % checkpoint_every == 0:
-            prior = list(cp_blocks)
-            cp_blocks.clear()
-            ranks = _local_checkpoint(ranks, cp_blocks)
-            for h in handles:
-                h.unpersist()
-            handles = []
-            _release(prior)
-        ranks = ranks.persist()
-        handles.append(ranks)
-    final_blocks: list = []
-    out = _local_checkpoint(ranks, final_blocks)
-    for h in handles:
-        h.unpersist()
-    _release(cp_blocks)
+    out = st.finish(ranks)
     nodes.unpersist()
     contrib_edges.unpersist()
     return out

@@ -872,7 +872,16 @@ class FrontierEngine:
             # (Ctrl-C, timeout) must not block its own cleanup behind a
             # full verify run — then drain, release, re-raise; the futures'
             # own outcomes are moot once the round failed.
-            for g in (f"verify:{store.dir}:r{r}", f"defwrite:{store.dir}:r{r}"):
+            # r-1's group too: with pipeline_verify the longest wait in the
+            # round is _finalize_verify awaiting the PREVIOUS round's verify
+            # — an interrupt usually lands exactly there, and that job would
+            # otherwise keep running unobserved after its input frames were
+            # unpersisted by finalize's cleanup
+            for g in (
+                f"verify:{store.dir}:r{r}",
+                f"defwrite:{store.dir}:r{r}",
+                f"verify:{store.dir}:r{r - 1}",
+            ):
                 try:
                     self.spark.sparkContext.cancelJobGroup(g)
                 except Exception:  # pragma: no cover - cancellation is best-effort

@@ -44,15 +44,22 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 # --------------------------------------------------------------- crawl slices
 
-def q_bfs_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
+def _order_part_edges(li: DataFrame) -> DataFrame:
+    """Bidirectional order↔part edge set shared by bfs_frontier and
+    pagerank (one definition — the two queries' 'same graph' claim must
+    not be able to drift). No global edge dedup: bfs's per-round target
+    dedup makes it redundant (duplicate edges cannot change
+    first-discovery depths), and pagerank counts multiplicity by design
+    (matching its oracle's UNION ALL)."""
     fwd = li.select(
         F.concat(F.lit("o"), F.col("l_orderkey")).alias("src"),
         F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"),
     )
-    # no global edge dedup: a full-table shuffle the per-round target dedup
-    # makes redundant (duplicate edges cannot change first-discovery depths)
-    edges = fwd.unionByName(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    return fwd.unionByName(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+
+
+def q_bfs_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _order_part_edges(_t(spark, sf_dir, "lineitem"))
     seed_key = _t(spark, sf_dir, "orders").agg(F.min("o_orderkey")).collect()[0][0]
     seed = spark.createDataFrame([(f"o{seed_key}",)], "url string")
     return bfs(edges, seed, BFS_DEPTH).select("url", F.col("depth").cast("int").alias("depth"))
@@ -67,12 +74,7 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     key in a priority-drain variant of the politeness schedule."""
     from .operators.pagerank import pagerank
 
-    li = _t(spark, sf_dir, "lineitem")
-    fwd = li.select(
-        F.concat(F.lit("o"), F.col("l_orderkey")).alias("src"),
-        F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"),
-    )
-    edges = fwd.unionByName(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    edges = _order_part_edges(_t(spark, sf_dir, "lineitem"))
     pr = pagerank(edges, n_iters=PAGERANK_ITERS, damping=PAGERANK_D)
     return pr.select("url", F.round("rank", 6).alias("rank"))
 
@@ -292,12 +294,29 @@ def q_ann_topk_partitioned(spark, sf_dir):
     ).hexdigest()[:12]
     path = os.path.join(tempfile.gettempdir(), f"ann_bucketed_{tag}_p{N_PLANES}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        import glob
+        import time
+
+        # sweep staging dirs orphaned by crashed builders of this same tag
+        # (age-guarded: a LIVE concurrent builder's staging is recent)
+        for orphan in glob.glob(f"{path}.tmp*"):
+            try:
+                if time.time() - os.path.getmtime(orphan) > 3600:
+                    shutil.rmtree(orphan, ignore_errors=True)
+            except FileNotFoundError:
+                pass
         staging = f"{path}.tmp{os.getpid()}"
         S.write_bucket_partitioned(_t(spark, sf_dir, "embeddings"), staging, EMB_DIM, N_PLANES)
         try:
             os.rename(staging, path)
-        except OSError:  # another process published first — keep the winner
+        except OSError:
+            # only a concurrent winner justifies discarding the build; any
+            # other rename failure (permissions, cross-device tempdir)
+            # must surface, not silently throw the layout away and then
+            # fail the read with an opaque missing-path error
             shutil.rmtree(staging, ignore_errors=True)
+            if not os.path.exists(os.path.join(path, "_SUCCESS")):
+                raise
     return S.ann_topk_partitioned(
         spark, path, _query_vec(spark, sf_dir), EMB_DIM, k=10, n_planes=N_PLANES, n_flip=N_FLIP
     )

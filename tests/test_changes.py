@@ -147,3 +147,18 @@ def test_array_cells_with_nan_are_not_phantom_updates(tmp_path):
     pdf = changes_pdf(t, key="k")
     assert list(pdf[pdf["_version"] == 2]["_op"]) == []  # unchanged
     assert list(pdf[pdf["_version"] == 3]["_op"]) == ["update_pre", "update_post"]
+
+
+def test_array_vs_scalar_nan_is_a_change(tmp_path):
+    """An all-NaN array cell must NOT compare equal to a scalar NaN cell
+    (shape change is a change — a broadcastable == would hide it)."""
+    import numpy as np
+    import pandas as pd
+
+    from distributed_web_crawler_spark.catalog.changes import _cell_eq
+
+    assert not _cell_eq(np.array([np.nan, np.nan]), float("nan"))
+    assert not _cell_eq(np.array([np.nan]), np.array([np.nan, np.nan]))
+    assert _cell_eq(np.array([np.nan, 1.0]), np.array([np.nan, 1.0]))
+    x = pd.DataFrame()  # __eq__-hostile object: identity keeps it stable
+    assert _cell_eq(x, x)

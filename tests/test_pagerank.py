@@ -1,14 +1,24 @@
 """pagerank() semantics: hand-computed tiny graph, dangling handling,
-cache release (iterative-state discipline shared with bfs)."""
+cache release (IterationState discipline shared with bfs)."""
 
+from distributed_web_crawler_spark.operators.bfs import release_checkpoint
 from distributed_web_crawler_spark.operators.pagerank import pagerank
+
+
+def _collect_release(df):
+    """Collect a checkpointed result and release its blocks — leaving them
+    to the GC-timed ContextCleaner makes OTHER tests' persistent-RDD
+    accounting flaky (order-dependent failure found by review)."""
+    rows = df.collect()
+    release_checkpoint(df)
+    return rows
 
 
 def test_matches_hand_computation(spark):
     edges = spark.createDataFrame(
         [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a")], ["src", "dst"]
     )
-    got = {r["url"]: r["rank"] for r in pagerank(edges, n_iters=2, damping=0.85).collect()}
+    got = {r["url"]: r["rank"] for r in _collect_release(pagerank(edges, n_iters=2, damping=0.85))}
     r = {"a": 1 / 3, "b": 1 / 3, "c": 1 / 3}
     for _ in range(2):
         base = 0.15 / 3
@@ -23,7 +33,7 @@ def test_dangling_mass_drops_and_sink_nodes_keep_base(spark):
     # b is a sink (no out-edges): its mass vanishes, it still receives
     # inflow; a node with no in-edges bottoms out at (1-d)/N
     edges = spark.createDataFrame([("a", "b"), ("c", "b")], ["src", "dst"])
-    got = {r["url"]: r["rank"] for r in pagerank(edges, n_iters=3, damping=0.85).collect()}
+    got = {r["url"]: r["rank"] for r in _collect_release(pagerank(edges, n_iters=3, damping=0.85))}
     base = 0.15 / 3
     assert abs(got["a"] - base) < 1e-12  # no in-edges after iter 1
     assert abs(got["c"] - base) < 1e-12
@@ -31,11 +41,19 @@ def test_dangling_mass_drops_and_sink_nodes_keep_base(spark):
 
 
 def test_iteration_state_releases_caches(spark):
-    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    before = set(spark.sparkContext._jsc.getPersistentRDDs().keys())
     edges = spark.createDataFrame(
         [(f"u{i}", f"u{(i * 7 + 1) % 20}") for i in range(20)], ["src", "dst"]
     )
     out = pagerank(edges, n_iters=12, checkpoint_every=4)
     assert out.count() == 20
-    after = spark.sparkContext._jsc.getPersistentRDDs().size()
-    assert after <= before + 1  # only the returned checkpoint remains
+    new_ids = set(spark.sparkContext._jsc.getPersistentRDDs().keys()) - before
+    assert len(new_ids) <= 1  # only the returned checkpoint remains
+    release_checkpoint(out)
+    assert not (set(spark.sparkContext._jsc.getPersistentRDDs().keys()) - before)
+
+
+def test_empty_edges(spark):
+    out = pagerank(spark.createDataFrame([], "src string, dst string"), n_iters=3)
+    assert out.collect() == []
+    assert out.columns == ["url", "rank"]
