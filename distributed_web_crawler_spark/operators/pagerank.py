@@ -1,9 +1,9 @@
 """PageRank power iteration over an edge DataFrame — the crawl-frontier
 PRIORITIZATION signal (generalizes the reference's FIFO drain order,
 master.go job queue: a production crawler drains high-rank hosts/pages
-first — in this engine that means ordering a depth's pending set by a
-precomputed rank column instead of politeness.py's url_hash order; the
-window/budget mechanics are unchanged by WHAT the order key is).
+first — politeness.schedule(priority=...) consumes exactly such a rank
+column as its per-host order key, budgets and sub-round slicing
+unchanged; tests/test_politeness_schedule.py exercises the pairing).
 
 Semantics: the classic simple power iteration,
     rank_{t+1}(v) = (1-d)/N + d * Σ_{u→v} rank_t(u) / outdeg(u)

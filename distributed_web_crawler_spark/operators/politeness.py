@@ -43,7 +43,12 @@ def budget_col(host_col, policy: PolitenessPolicy):
     return F.greatest(F.lit(1), F.floor(F.lit(policy.round_duration_ms) / delay)).cast("int")
 
 
-def schedule(pending: DataFrame, policy: PolitenessPolicy, persisted: list | None = None) -> Tuple[DataFrame, DataFrame]:
+def schedule(
+    pending: DataFrame,
+    policy: PolitenessPolicy,
+    persisted: list | None = None,
+    priority=None,
+) -> Tuple[DataFrame, DataFrame]:
     """Compute a depth's ENTIRE politeness schedule in one window pass:
     returns (admitted_now, scheduled) where `admitted_now` is sub-round 0's
     slice (rank ≤ budget per host) and `scheduled` carries a `due` column =
@@ -75,7 +80,34 @@ def schedule(pending: DataFrame, policy: PolitenessPolicy, persisted: list | Non
     Pass `persisted` (a list) to persist the shared `ranked` ancestor —
     without it, consuming `admitted_now` and `scheduled` as separate
     actions re-runs the rank shuffle twice; the engine persists it and
-    unpersists at end of round."""
+    unpersists at end of round.
+
+    `priority`: optional Column expression — a PRIORITY-ordered drain
+    (e.g. a precomputed pagerank joined onto the pending set): per-host
+    order becomes (priority DESC, url_hash, url) and budgets/sub-round
+    slicing are unchanged. The range-chunk decomposition above is keyed
+    to url_hash ORDER and does not apply to an arbitrary key, so this
+    path ranks with the plain per-host window — at mega-host scale a
+    priority drain should bucket its priority into a coarse grade column
+    and feed (grade, url_hash) here instead (grades are
+    range-decomposable the same way)."""
+    if priority is not None:
+        w = Window.partitionBy("host").orderBy(
+            priority.desc(), F.col("url_hash").asc(), F.col("url").asc()
+        )
+        ranked = pending.withColumn("_rn", F.row_number().over(w)).withColumn(
+            "_budget", budget_col(F.col("host"), policy)
+        )
+        if persisted is not None:
+            ranked = ranked.persist()
+            persisted.append(ranked)
+        admitted = ranked.filter(F.col("_rn") <= F.col("_budget")).drop("_rn", "_budget")
+        scheduled = (
+            ranked.filter(F.col("_rn") > F.col("_budget"))
+            .withColumn("due", (F.ceil(F.col("_rn") / F.col("_budget")) - 1).cast("int"))
+            .drop("_rn", "_budget")
+        )
+        return admitted, scheduled
     chunk = F.shiftright(F.col("url_hash"), 64 - RANK_CHUNK_BITS)
     local = pending.withColumn("_chunk", chunk)
     # per-(host, chunk) row counts -> per-chunk rank offsets (prefix sum

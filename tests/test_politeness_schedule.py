@@ -146,3 +146,39 @@ def test_megahost_rank_spans_chunks_and_matches_single_window(spark, corpus_1k):
     got_due = {r["url"]: r["due"] for r in scheduled.collect()}
     want_due = {u: (rn + b - 1) // b - 1 for u, rn in want.items() if rn > b}
     assert got_due == want_due
+
+
+def test_priority_drain_orders_by_rank_within_budget(spark):
+    """schedule(priority=...) drains high-priority URLs first per host,
+    budgets and due-sub-round slicing unchanged — the pagerank docstring's
+    'drop-in order key' claim, exercised."""
+    from pyspark.sql import functions as F
+
+    from distributed_web_crawler_spark.operators.politeness import budget_col, schedule
+    from distributed_web_crawler_spark.oracle.crawler import PolitenessPolicy
+
+    rows = [
+        (f"http://h0000.test/p/{i}", "h0000.test", (i * 37) % 1000 - 500, i, float(i % 7))
+        for i in range(40)
+    ]
+    pending = spark.createDataFrame(
+        rows, "url string, host string, url_hash long, seen_bucket int, prio double"
+    )
+    pol = PolitenessPolicy()
+    admitted, scheduled = schedule(pending, pol, priority=F.col("prio"))
+    budget = pending.select(budget_col(F.col("host"), pol).alias("b")).first()["b"]
+    adm = admitted.collect()
+    assert len(adm) == budget
+    # admitted = top-`budget` by (prio desc, url_hash, url) — verify exactly
+    ordered = sorted(rows, key=lambda r: (-r[4], r[2], r[0]))
+    assert {r["url"] for r in adm} == {r[0] for r in ordered[:budget]}
+    # deferred slices: contiguous due values, each of size <= budget
+    sched = scheduled.orderBy("due").collect()
+    assert len(sched) == 40 - budget
+    per_due = {}
+    for r in sched:
+        per_due.setdefault(r["due"], []).append(r["url"])
+    assert sorted(per_due) == list(range(1, max(per_due) + 1))
+    for due, urls in per_due.items():
+        lo = due * budget
+        assert set(urls) == {r[0] for r in ordered[lo : lo + budget]}
