@@ -157,7 +157,13 @@ def _cell_eq(x, y) -> bool:
         except (TypeError, ValueError):
             pass
         return bool(np.all(r))
-    return bool(r)
+    try:
+        return bool(r)
+    except Exception:
+        # truth-ambiguous __eq__ result (e.g. a pandas Series cell of
+        # equal shape): cannot prove equality — report changed, mirroring
+        # the raising-__eq__ branch above
+        return False
 
 
 def _rows_equal(a: pd.DataFrame, b: pd.DataFrame):

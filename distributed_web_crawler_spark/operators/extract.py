@@ -48,6 +48,11 @@ def extract_links(fetched: DataFrame, spec: C.CorpusSpec) -> DataFrame:
         host_names = _host_name_lut(spec)
         prefixes = _url_prefix_lut(spec)
         for pdf in batches:
+            if not len(pdf):
+                # np.char.rpartition on an empty str array returns a 1-D
+                # (0,) result under numpy 1.26, so [:, 2] would IndexError
+                yield pd.DataFrame({"parent_url": [], "url": [], "host": []}, dtype=object)
+                continue
             urls = pdf["url"].to_numpy(str)
             # corpus URLs end in /p/<i>; anything else is unfetchable ⇒ no
             # links (worker.go:153). to_numeric(coerce) replaces the scalar
