@@ -2,9 +2,11 @@
 Iceberg/Delta "changelog read" analog for the control tables (job ledger,
 job cache, client registry).
 
-Every CAS commit of an AtomicTable is a full snapshot; diffing consecutive
-snapshots on a key column yields the change stream the reference would get
-by tailing Postgres WAL / Redis keyspace notifications. Cardinality is
+Every CAS commit of an AtomicTable is a snapshot — stored either whole
+(data.parquet) or as a keyed delta folded over its base chain
+(catalog.tables.read_table_version); diffing consecutive snapshots on a
+key column yields the change stream the reference would get by tailing
+Postgres WAL / Redis keyspace notifications. Cardinality is
 control-plane tiny (one row per job/seed/client), so the diff runs
 driver-side in pandas and lands in Spark as a normal DataFrame — at real
 scale this is `spark.read.format("iceberg").option("start-snapshot-id",…)`
@@ -37,7 +39,26 @@ def snapshots(table: AtomicTable) -> List[int]:
 
 
 def read_version(table: AtomicTable, v: int) -> pd.DataFrame:
-    return pq.read_table(table.path_of(v) + "/data.parquet").to_pandas()
+    """Full snapshot at version v — reconstructs keyed-delta versions by
+    folding their base chain (catalog.tables.read_table_version)."""
+    from .tables import read_table_version
+
+    return read_table_version(table, v)
+
+
+def _advance(table: AtomicTable, v: int, prev_v: Optional[int], prev_df) -> pd.DataFrame:
+    """Snapshot at v, folding forward from the already-reconstructed
+    predecessor when v is a delta based on it — keeps changes_pdf linear in
+    (versions × delta size) instead of re-walking each chain per step."""
+    import os
+
+    from .tables import fold_delta, version_delta_meta
+
+    meta = version_delta_meta(table, v)
+    if prev_df is not None and meta is not None and meta["base"] == prev_v:
+        ups = pq.read_table(os.path.join(table.path_of(v), "delta.parquet")).to_pandas()
+        return fold_delta(prev_df, ups, meta["deletes"], meta["key"])
+    return read_version(table, v)
 
 
 def changes_pdf(
@@ -52,8 +73,10 @@ def changes_pdf(
     vs = [v for v in snaps
           if (start_version is None or v > start_version)
           and (end_version is None or v <= end_version)]
+    prev_v: Optional[int] = None
     if start_version is not None and start_version in snaps:
         prev = read_version(table, start_version)
+        prev_v = start_version
     else:
         # A checkpointed start_version that is NOT a committed snapshot must
         # FAIL, never silently degrade (Delta/Iceberg raise for an invalid
@@ -82,7 +105,8 @@ def changes_pdf(
         prev = None
     out = []
     for v in vs:
-        cur = read_version(table, v)
+        cur = _advance(table, v, prev_v, prev)
+        prev_v = v
         if prev is None:
             for _, row in cur.iterrows():
                 out.append({"_version": v, "_op": "insert", **row.to_dict()})

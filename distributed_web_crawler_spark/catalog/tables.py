@@ -377,6 +377,82 @@ class JobStateStore:
         return out
 
 
+DELTA_META = "delta_meta.json"
+
+
+def fold_delta(base, ups, dels, key):
+    """Apply one keyed delta to a snapshot: drop `dels` keys, then upsert
+    `ups` rows — existing keys update IN PLACE (original row position),
+    new keys append in `ups` order. This is the merge arm of the Iceberg
+    ``MERGE INTO ... WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT`` the
+    AtomicTable delta scheme stands in for (lockServer.go:69-101 does the
+    same per-row UPDATE in Postgres). Positional stability means consumers
+    that were written against full-snapshot rewrites see identical state."""
+    import numpy as np
+    import pandas as pd
+
+    if dels is not None and len(dels) and len(base):
+        base = base[~base[key].isin(set(dels))]
+    base = base.reset_index(drop=True)
+    if ups is None or not len(ups):
+        return base
+    if not len(base):
+        return ups.reset_index(drop=True).copy()
+    merged = pd.concat([base, ups], ignore_index=True)
+    first_pos = {}
+    for i, k in enumerate(merged[key]):
+        if k not in first_pos:
+            first_pos[k] = i
+    out = merged.drop_duplicates(subset=key, keep="last")
+    order = np.argsort(
+        np.fromiter((first_pos[k] for k in out[key]), dtype=np.int64, count=len(out)),
+        kind="stable",
+    )
+    return out.iloc[order].reset_index(drop=True)
+
+
+def version_delta_meta(table: "AtomicTable", v: int) -> Optional[dict]:
+    """The delta descriptor of version v, or None if v is a full snapshot.
+    ``data.parquet`` takes PRECEDENCE over delta files in the same dir:
+    compact() materializes a delta version in place (write-tmp + rename)
+    before expiring its base chain, and that one rename atomically flips
+    the version from delta to full for every reader."""
+    path = table.path_of(v)
+    if os.path.exists(os.path.join(path, "data.parquet")):
+        return None
+    try:
+        with open(os.path.join(path, DELTA_META)) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return None
+
+
+def read_table_version(table: "AtomicTable", v: int):
+    """Reconstruct the full snapshot at version v: walk the base chain back
+    to the nearest full snapshot (every delta's base is its predecessor, so
+    the chain is the contiguous version range), then fold forward. Chain
+    length is bounded by _PandasTable.FULL_EVERY."""
+    import pyarrow.parquet as pq
+
+    chain: List[tuple] = []
+    vv: Optional[int] = v
+    base = None
+    while vv is not None:
+        path = table.path_of(vv)
+        meta = version_delta_meta(table, vv)
+        if meta is None:
+            base = pq.read_table(os.path.join(path, "data.parquet")).to_pandas()
+            break
+        chain.append((path, meta))
+        vv = meta["base"]
+    for path, meta in reversed(chain):
+        ups = pq.read_table(os.path.join(path, "delta.parquet")).to_pandas()
+        if base is None:
+            base = ups.iloc[0:0]
+        base = fold_delta(base, ups, meta["deletes"], meta["key"])
+    return base
+
+
 class AtomicTable:
     """Versioned single-parquet table with compare-and-swap commits.
 
@@ -467,6 +543,31 @@ class AtomicTable:
             int(n[8:]) for n in os.listdir(self.dir) if n.startswith("commit_v")
         )
         drop = versions[:-keep_last] if keep_last > 0 else []
+        if drop and keep_last > 0:
+            # the oldest KEPT version may be a keyed delta whose
+            # reconstruction walks a base chain into the drop range —
+            # materialize it as a full snapshot IN PLACE first (Iceberg
+            # expire-snapshots rewrites manifests the same way). The
+            # write-tmp + rename makes data.parquet appear atomically, and
+            # data.parquet takes read precedence over the delta files, so
+            # the chain below can then be severed safely. On any race with
+            # a concurrent compactor (version vanished mid-read), skip the
+            # drops this pass — the winner already handled them.
+            oldest_kept = versions[len(drop)]
+            try:
+                if version_delta_meta(self, oldest_kept) is not None:
+                    import uuid
+
+                    import pyarrow as pa
+                    import pyarrow.parquet as pq
+
+                    pdf = read_table_version(self, oldest_kept)
+                    path = self.path_of(oldest_kept)
+                    tmp = os.path.join(path, f".data_{uuid.uuid4().hex[:12]}.tmp")
+                    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), tmp)
+                    os.replace(tmp, os.path.join(path, "data.parquet"))
+            except FileNotFoundError:
+                drop = []
         kept_dirs = set()
         for v in versions[len(drop):]:
             try:

@@ -11,6 +11,13 @@ cluster: Iceberg MERGE INTO with a conditional commit). Cardinality
 is one row per job / seed URL, so pandas+pyarrow on the driver is the honest
 tool; all bulk data stays in Spark.
 
+Write amplification is O(Δ) per op, not O(table): each mutation commits a
+KEYED DELTA (only the touched rows + deleted keys, `Delta`), matching the
+reference lock server's per-row SQL (Database/main.go:69-101); a full
+snapshot lands every `_PandasTable.FULL_EVERY` versions to bound
+reconstruction chains, and reads fold forward from an in-process memo so
+steady-state reads are also O(Δ) IO (plus one in-memory copy).
+
 Semantics reproduced exactly:
 
 * admission exactly-once: a job_id already in the ledger is not re-admitted
@@ -27,15 +34,23 @@ Semantics reproduced exactly:
 
 from __future__ import annotations
 
+import json
+import os
 import time
-from dataclasses import dataclass
-from typing import List, Optional
+from dataclasses import dataclass, field
+from typing import List, Optional, Sequence
 
 import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from ..catalog.tables import AtomicTable
+from ..catalog.tables import (
+    DELTA_META,
+    AtomicTable,
+    fold_delta,
+    read_table_version,
+    version_delta_meta,
+)
 
 JOB_TIMEOUT_S = 60.0  # lockServer.go:115
 CACHE_TTL_S = 3600.0  # server.go:37 (60 min)
@@ -53,10 +68,32 @@ _LEDGER_COLS = {
 }
 
 
+@dataclass
+class Delta:
+    """Keyed mutation staged by a `mutate` fn: delete `dels` keys, then
+    upsert `ups` rows (existing keys update in place, new keys append) —
+    the O(Δ)-per-op analog of the reference lock server's per-row SQL
+    (Server/LockServer/Database/main.go:69-101) and the documented Iceberg
+    MERGE INTO swap point. The whole-table-rewrite fn contract remains
+    accepted for blind overwrites (write())."""
+
+    ups: Optional[pd.DataFrame] = None
+    dels: Sequence = field(default_factory=tuple)
+
+
 class _PandasTable:
-    def __init__(self, warehouse: str, name: str, cols: dict):
+    # full-snapshot cadence: bounds every delta chain (reconstruction walk,
+    # compact()'s kept window) at FULL_EVERY versions
+    FULL_EVERY = 16
+
+    def __init__(self, warehouse: str, name: str, cols: dict, key: Optional[str] = None):
         self.table = AtomicTable(warehouse, name)
         self.cols = cols
+        self.key = key if key is not None else next(iter(cols))
+        # folded snapshot memo: steady-state reads fold only the versions
+        # committed since the last read instead of rebuilding from parquet
+        self._memo_v: Optional[int] = None
+        self._memo_df: Optional[pd.DataFrame] = None
 
     def _empty(self) -> pd.DataFrame:
         return pd.DataFrame({c: pd.Series(dtype=t) for c, t in self.cols.items()})
@@ -64,36 +101,113 @@ class _PandasTable:
     def _read_at(self, v: Optional[int]) -> pd.DataFrame:
         if v is None:
             return self._empty()
-        return pq.read_table(self.table.path_of(v) + "/data.parquet").to_pandas()
+        return read_table_version(self.table, v)
+
+    def _state(self, v: Optional[int]) -> pd.DataFrame:
+        """Folded snapshot at version v (a defensive copy — `mutate` fns may
+        scribble on it). Fast path: advance the memo by folding only the
+        deltas in (memo_v, v]; a full snapshot in that range resets the fold."""
+        if v is None:
+            return self._empty()
+        if self._memo_v is not None and v >= self._memo_v:
+            df = self._memo_df
+            for vv in range(self._memo_v + 1, v + 1):
+                meta = version_delta_meta(self.table, vv)
+                path = self.table.path_of(vv)
+                if meta is None:
+                    df = pq.read_table(path + "/data.parquet").to_pandas()
+                else:
+                    ups = pq.read_table(path + "/delta.parquet").to_pandas()
+                    df = fold_delta(df, ups, meta["deletes"], meta["key"])
+            self._memo_v, self._memo_df = v, df
+            return df.copy()
+        df = self._read_at(v)
+        self._memo_v, self._memo_df = v, df
+        return df.copy()
 
     def read(self) -> pd.DataFrame:
-        return self._read_at(self.table.current_version())
+        last_err = None
+        for _ in range(8):
+            try:
+                return self._state(self.table.current_version())
+            except FileNotFoundError as e:
+                # a concurrent compact() severed the chain mid-walk; the
+                # materialized snapshot is already in place — re-resolve
+                self._memo_v = None
+                last_err = e
+        raise last_err
 
     def _stage(self, df: pd.DataFrame) -> str:
-        import os
-
         path = self.table.new_version_path()
         os.makedirs(path, exist_ok=True)
         pq.write_table(pa.Table.from_pandas(df, preserve_index=False), path + "/data.parquet")
         return path
 
+    def _stage_delta(self, delta: Delta, base_v: Optional[int]) -> str:
+        path = self.table.new_version_path()
+        os.makedirs(path, exist_ok=True)
+        ups = delta.ups if delta.ups is not None and len(delta.ups) else self._empty()
+        pq.write_table(pa.Table.from_pandas(ups, preserve_index=False), path + "/delta.parquet")
+        meta = {"key": self.key, "deletes": list(delta.dels), "base": base_v}
+        with open(os.path.join(path, DELTA_META), "w") as f:
+            json.dump(meta, f)
+        return path
+
+    def _chain_len(self, v: Optional[int]) -> int:
+        """Consecutive delta versions ending at v (bounded walk over tiny
+        json files; FULL_EVERY caps it)."""
+        n = 0
+        while v is not None and n < self.FULL_EVERY:
+            try:
+                meta = version_delta_meta(self.table, v)
+            except FileNotFoundError:
+                break  # compacted below a full snapshot
+            if meta is None:
+                break
+            v = meta["base"]
+            n += 1
+        return n
+
     def write(self, df: pd.DataFrame) -> None:
-        """Blind overwrite (single-writer contexts / tests)."""
+        """Blind overwrite (single-writer contexts / tests) — always a full
+        snapshot."""
         while not self.table.publish(self._stage(df)):
             pass
+        self._memo_v = None  # blind write: version unknown, drop the memo
 
     def mutate(self, fn):
-        """Optimistic read-modify-write. `fn(df) -> (new_df | None, result)`;
-        None skips the write (read-only decision). On a CAS conflict —
-        another process committed between our read and publish — re-read
-        and re-apply `fn`, so the decision is always made against the state
-        it ends up being applied to (exactly-once across processes)."""
+        """Optimistic read-modify-write. `fn(df) -> (Delta | new_df | None,
+        result)`; None skips the write (read-only decision). A Delta stages
+        ONLY the touched rows/keys — O(Δ) write amplification per op — with
+        a full snapshot every FULL_EVERY versions to bound chains; a
+        DataFrame stages a full rewrite (legacy contract). On a CAS
+        conflict — another process committed between our read and publish —
+        re-read and re-apply `fn`, so the decision is always made against
+        the state it ends up being applied to (exactly-once across
+        processes)."""
         while True:
             v0 = self.table.current_version()
-            out, result = fn(self._read_at(v0))
+            try:
+                df = self._state(v0)
+            except FileNotFoundError:
+                # a concurrent compact() swept a version between the pointer
+                # read and the chain walk — re-resolve the current version
+                self._memo_v = None
+                continue
+            out, result = fn(df)
             if out is None:
                 return result
-            if self.table.publish(self._stage(out), expected_version=v0):
+            if isinstance(out, Delta):
+                folded = fold_delta(df, out.ups, out.dels, self.key)
+                if self._chain_len(v0) + 1 >= self.FULL_EVERY:
+                    path = self._stage(folded)
+                else:
+                    path = self._stage_delta(out, v0)
+            else:
+                folded = out
+                path = self._stage(out)
+            if self.table.publish(path, expected_version=v0):
+                self._memo_v, self._memo_df = (v0 or 0) + 1, folded
                 return result
 
 
@@ -130,7 +244,7 @@ class JobLedger:
         def fn(df):
             if (df["job_id"] == job_id).any():
                 return None, False
-            return pd.concat([df, pd.DataFrame([row])], ignore_index=True), True
+            return Delta(ups=pd.DataFrame([row])), True
 
         return self._t.mutate(fn)
 
@@ -149,9 +263,9 @@ class JobLedger:
                 ].sort_values("assigned_at")
             if cand.empty:
                 return None, None
-            idx = cand.index[0]
-            df.loc[idx, ["state", "owner", "assigned_at"]] = ["running", owner, now]
-            return df, df.loc[idx].to_dict()
+            u = df.loc[[cand.index[0]]].copy()
+            u["state"], u["owner"], u["assigned_at"] = "running", owner, now
+            return Delta(ups=u), u.iloc[0].to_dict()
 
         return self._t.mutate(fn)
 
@@ -159,15 +273,23 @@ class JobLedger:
         now = time.time() if now is None else now
 
         def fn(df):
-            df.loc[df["job_id"] == job_id, ["last_round", "assigned_at"]] = [last_round, now]
-            return df, None
+            m = df["job_id"] == job_id
+            if not m.any():
+                return None, None
+            u = df.loc[m].copy()
+            u["last_round"], u["assigned_at"] = last_round, now
+            return Delta(ups=u), None
 
         self._t.mutate(fn)
 
     def complete(self, job_id: str) -> None:
         def fn(df):
-            df.loc[df["job_id"] == job_id, "state"] = "done"
-            return df, None
+            m = df["job_id"] == job_id
+            if not m.any():
+                return None, None
+            u = df.loc[m].copy()
+            u["state"] = "done"
+            return Delta(ups=u), None
 
         self._t.mutate(fn)
 
@@ -233,9 +355,14 @@ class JobCache:
             m = (df["seed_url"] == seed_url) & (df["expires_at"] > now)
             if m.any() and int(df.loc[m, "depth"].iloc[0]) >= depth:
                 return None, False
-            df = df[df["seed_url"] != seed_url]  # purge stale/shallower rows
-            df = pd.concat([df, pd.DataFrame([row])], ignore_index=True)
-            return self._evict(df, seed_url, now), True
+            # stale/shallower rows of this seed are subsumed by the upsert;
+            # eviction victims (expired purge + LFU overflow) become keyed
+            # deletes — the delta is O(1 + victims), not O(table)
+            base = df[df["seed_url"] != seed_url]
+            folded = pd.concat([base, pd.DataFrame([row])], ignore_index=True)
+            kept = set(self._evict(folded, seed_url, now)["seed_url"])
+            dels = sorted(k for k in base["seed_url"] if k not in kept)
+            return Delta(ups=pd.DataFrame([row]), dels=dels), True
 
         return self._t.mutate(fn)
 
@@ -248,11 +375,11 @@ class JobCache:
             m = df[(df["seed_url"] == seed_url) & (df["expires_at"] > now)]
             if m.empty or int(m["depth"].iloc[0]) < requested_depth:
                 return None, None
-            idx = m.index[0]
-            df.loc[idx, "expires_at"] = now + self.ttl_s  # refresh-on-read
-            df.loc[idx, "hits"] += 1
+            u = m.iloc[[0]].copy()
+            u["expires_at"] = now + self.ttl_s  # refresh-on-read
+            u["hits"] = u["hits"] + 1
             results = m["results"].iloc[0]
-            return df, [list(level) for level in results[:requested_depth]]
+            return Delta(ups=u), [list(level) for level in results[:requested_depth]]
 
         return self._t.mutate(fn)
 

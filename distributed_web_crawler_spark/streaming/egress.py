@@ -32,7 +32,7 @@ from typing import List, Optional
 
 import pandas as pd
 
-from ..plans.ledger import _PandasTable
+from ..plans.ledger import Delta, _PandasTable
 
 CONN_IDLE_TIMEOUT_S = 600.0  # server.go idle reaper period
 
@@ -54,9 +54,8 @@ class ClientRegistry:
         now = time.time() if now is None else now
 
         def fn(df):
-            df = df[df["client_id"] != client_id]
             row = {"client_id": client_id, "connected_at": now, "last_seen": now}
-            return pd.concat([df, pd.DataFrame([row])], ignore_index=True), None
+            return Delta(ups=pd.DataFrame([row])), None
 
         self._t.mutate(fn)
 
@@ -68,8 +67,9 @@ class ClientRegistry:
             m = df["client_id"] == client_id
             if not m.any():
                 return None, False
-            df.loc[m, "last_seen"] = now
-            return df, True
+            u = df.loc[m].copy()
+            u["last_seen"] = now
+            return Delta(ups=u), True
 
         return self._t.mutate(fn)
 
@@ -82,7 +82,7 @@ class ClientRegistry:
             dead = df[now - df["last_seen"] > self.idle_timeout_s]
             if dead.empty:
                 return None, []
-            return df.drop(dead.index), list(dead["client_id"])
+            return Delta(dels=list(dead["client_id"])), list(dead["client_id"])
 
         return self._t.mutate(fn)
 
