@@ -77,24 +77,28 @@ def verify_batch(urls, payloads, fmts, captions, phashes, spec: C.CorpusSpec) ->
         rw = np.stack([raws[k] for k in ks])
         # integer MSE: int32 diffs are EXACT (pixel diffs are integers, so
         # this is bit-identical to the float64 path) at half the memory
-        # traffic — this kernel is bandwidth-bound at 32 threads
-        diff = d.astype(np.int32) - rw
-        mse = np.square(diff).mean(axis=(1, 2, 3))
+        # traffic — this kernel is bandwidth-bound at 32 threads. int16
+        # diffs (range ±255) at half the int32 footprint; squares summed
+        # exactly (≤ 64·64·3·255² ≈ 8e8 « 2^53, float64-exact mean)
+        diff = np.subtract(d, rw, dtype=np.int16)
+        mse = np.square(diff, dtype=np.int32).mean(axis=(1, 2, 3))
         with np.errstate(divide="ignore"):
             p = 10.0 * np.log10(255.0 * 255.0 / mse)
         psnrs[idx] = np.minimum(p, 99.0)
-        exact = (d == rw).all(axis=(1, 2, 3))
+        # exact pixel equality ⟺ mse == 0 (integer arithmetic) — no
+        # second full array pass
         png_mask = np.asarray(fmts)[idx] == "png"
-        pixels_ok[idx] = np.where(png_mask, exact, p >= 40.0)
+        pixels_ok[idx] = np.where(png_mask, mse == 0.0, p >= 40.0)
         # gray32: subsample FIRST (nearest-neighbor picks original pixels, so
         # slicing commutes with the channel mean), then average 3 channels of
-        # 32×32 — touches 32·32·3 values per image instead of h·w·3.
-        # Channel sums are small integers: exact in float64, bit-identical
-        # to fixtures.gray32's mean-then-subsample.
+        # 32×32 — one fused fancy index straight to (n,32,32,3), no
+        # (n,32,w,3) intermediate. Channel sums are small integers: exact
+        # in float64, bit-identical to fixtures.gray32's
+        # mean-then-subsample.
         h, w = shape[0], shape[1]
         yi = (np.arange(32) * h // 32).astype(np.intp)
         xi = (np.arange(32) * w // 32).astype(np.intp)
-        sub = d[:, yi][:, :, xi]
+        sub = d[:, yi[:, None], xi[None, :], :]
         grays[idx] = sub.sum(axis=3, dtype=np.float64) / 3.0
     phash_ok = C.phash64_batch(grays) == np.asarray(phashes) if n else np.zeros(0, dtype=bool)
     return {

@@ -37,7 +37,7 @@ CORPUS_SCHEMA = (
     "bucket int, bytes binary, phash bigint, blob_offset bigint, blob_len int"
 )
 
-_MARKER_VERSION = "v3"  # v3: 32 storage buckets
+_MARKER_VERSION = "v4"  # v4: phash kernel revision (8×32 two-GEMM DCT); v3: 32 storage buckets
 
 
 def blob_path(corpus_path: str, bucket: int) -> str:
