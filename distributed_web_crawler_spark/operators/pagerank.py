@@ -16,8 +16,15 @@ is ~1e-15 relative, far below the rounding).
 Scale shape (100 TB): `edges` is joined BY src every iteration — a real
 deployment pre-partitions/buckets the edge table on src once so every
 iteration's join is co-located (same discipline as plans/frontier's
-bucketed seen set); the per-iteration shuffle is then only the
-contribution aggregate keyed by dst. The out-degree table rides inside
+bucketed seen set); the per-iteration shuffle is then only the rank side
+plus the contribution aggregate keyed by dst. That claim is DEMONSTRATED
+here, not just stated: ``write_edges_bucketed`` lays the contribution
+edges out as a parquet table bucketed AND sorted by src, and
+``pagerank_on_table`` iterates against that layout — the per-iteration
+join plan scans it with ``Bucketed: true`` and NO edge-side Exchange or
+Sort (machine-asserted in tests/test_pagerank_bucketed.py and
+scripts/explain_audit.py, the same treatment ann_topk_partitioned got
+for its partition-pruning claim). The out-degree table rides inside
 the same persisted edge projection (degree join, broadcastable when the
 host graph is small). Iteration state is one (node, rank) frame,
 persisted per step and released when superseded — lineage is truncated
@@ -54,25 +61,35 @@ def pagerank(
         edges.unpersist()
         nodes.unpersist()
         return edges.sparkSession.createDataFrame([], "url string, rank double")
-    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg")).persist()
     # contribution edges with the degree folded in: built once, reused by
-    # every iteration (at scale: bucketed by src, degree join co-located)
-    contrib_edges = edges.join(deg, "src").select(
-        "src", "dst", (F.lit(1.0) / F.col("outdeg")).alias("w")
-    ).persist()
+    # every iteration (write_edges_bucketed is the at-scale layout)
+    contrib_edges = contrib_edges_of(edges).persist()
     contrib_edges.count()
     edges.unpersist()
-    deg.unpersist()
 
+    out = _power_iterate(nodes, contrib_edges, n, n_iters, damping, checkpoint_every)
+    nodes.unpersist()
+    contrib_edges.unpersist()
+    return out
+
+
+def iteration_contribs(contrib_edges: DataFrame, ranks: DataFrame) -> DataFrame:
+    """ONE power-iteration inflow: contribution edges ⋈ ranks (by src),
+    aggregated by dst. Split out so plan audits can assert the join shape
+    against a bucketed edge layout without running a full pagerank."""
+    return (
+        contrib_edges.join(ranks.withColumnRenamed("url", "src"), "src")
+        .groupBy("dst")
+        .agg(F.sum(F.col("rank") * F.col("w")).alias("inflow"))
+    )
+
+
+def _power_iterate(nodes, contrib_edges, n, n_iters, damping, checkpoint_every):
     base = (1.0 - damping) / n
     st = IterationState(checkpoint_every)
     ranks = st.step(nodes.select("url", F.lit(1.0 / n).alias("rank")), 1)
     for it in range(1, n_iters + 1):
-        contribs = (
-            contrib_edges.join(ranks.withColumnRenamed("url", "src"), "src")
-            .groupBy("dst")
-            .agg(F.sum(F.col("rank") * F.col("w")).alias("inflow"))
-        )
+        contribs = iteration_contribs(contrib_edges, ranks)
         ranks = st.step(
             nodes.join(contribs.withColumnRenamed("dst", "url"), "url", "left").select(
                 "url",
@@ -82,7 +99,70 @@ def pagerank(
             ),
             it,
         )
-    out = st.finish(ranks)
+    return st.finish(ranks)
+
+
+def contrib_edges_of(edges: DataFrame) -> DataFrame:
+    """(src, dst, w=1/outdeg(src)) — the projection every iteration joins.
+    Built once per graph; at scale this is what gets written bucketed."""
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    return edges.join(deg, "src").select(
+        "src", "dst", (F.lit(1.0) / F.col("outdeg")).alias("w")
+    )
+
+
+def write_edges_bucketed(edges: DataFrame, name: str, n_buckets: int = 32, path: str | None = None) -> None:
+    """One-time layout for iterative rank jobs: the contribution edges as a
+    parquet table BUCKETED and SORTED by src (`name` in the session
+    catalog; `path` makes it external). Every subsequent
+    ``pagerank_on_table`` iteration joins this table by src with no
+    edge-side Exchange — only the rank side moves; with
+    ``spark.sql.legacy.bucketedTableScan.outputOrdering=true`` (off by
+    default since Spark 3.0 because it costs a file listing at planning)
+    the per-bucket sortBy also eliminates the edge-side Sort. On a cluster
+    this is the Iceberg `bucket(N, src)` partition transform; the
+    reference has no analog (its graph lives in per-job Go maps,
+    Server/Master/master.go) — this is the 100-TB shape of the same
+    frontier-prioritization computation."""
+    # ONE file per bucket: Spark only trusts a bucketed table's sortBy
+    # metadata (and so can drop the join-side Sort) when each bucket holds
+    # a single file; repartition on the bucket key aligns writer tasks
+    # with buckets (same Murmur3 hash on both sides)
+    writer = (
+        contrib_edges_of(edges)
+        .repartition(n_buckets, F.col("src"))
+        .write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(n_buckets, "src")
+        .sortBy("src")
+    )
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(name)
+
+
+def pagerank_on_table(
+    spark,
+    name: str,
+    n_iters: int = 3,
+    damping: float = 0.85,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """PageRank over a pre-bucketed contribution-edge table (see
+    write_edges_bucketed). Numerically identical to pagerank() on the
+    same graph: same iteration, same float association order per row
+    group (sum order over a dst's inflow is shuffle-determined in both)."""
+    contrib_edges = spark.table(name)
+    nodes = (
+        contrib_edges.select(F.col("src").alias("url"))
+        .unionByName(contrib_edges.select(F.col("dst").alias("url")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    if n == 0:
+        nodes.unpersist()
+        return spark.createDataFrame([], "url string, rank double")
+    out = _power_iterate(nodes, contrib_edges, n, n_iters, damping, checkpoint_every)
     nodes.unpersist()
-    contrib_edges.unpersist()
     return out

@@ -108,11 +108,70 @@ def audit_crawl_plans(spark, sections, failures):
     )
 
 
+def audit_pagerank_bucketed(spark, sections, failures):
+    """The pagerank 100-TB layout claim (r5 VERDICT Next #4): with the
+    contribution edges bucketed+sorted by src, the per-iteration join scan
+    is `Bucketed: true` with NO edge-side Exchange — exactly two
+    exchanges remain (rank side + dst aggregate) — and with the sorted
+    bucketed scan enabled, only the rank side sorts."""
+    import re
+
+    from distributed_web_crawler_spark.operators.pagerank import (
+        iteration_contribs,
+        write_edges_bucketed,
+    )
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    fwd = li.select(
+        F.concat(F.lit("o"), F.col("l_orderkey")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"),
+    )
+    edges = fwd.unionByName(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    write_edges_bucketed(edges, "plan_audit_pr_edges", n_buckets=16, path="/tmp/plan_audit_pr_edges")
+    # localCheckpoint: the rank frame in a real iteration IS checkpointed
+    # state (IterationState) — a lineage-free Scan ExistingRDD, so the
+    # exchange count below measures only the join/agg, as in production
+    ranks = (
+        edges.select(F.col("src").alias("url")).distinct()
+        .select("url", F.lit(0.1).alias("rank"))
+        .localCheckpoint()
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+        df = iteration_contribs(spark.table("plan_audit_pr_edges"), ranks)
+        plan = plan_of(df)
+        raw = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "false")
+        spark.sql("DROP TABLE IF EXISTS plan_audit_pr_edges")
+    missing = []
+    if "Bucketed: true" not in raw:
+        missing.append("edge scan not bucketed")
+    n_ex = len(re.findall(r"Exchange hashpartitioning", raw))
+    if n_ex != 2:
+        missing.append(f"expected exactly 2 exchanges (rank side + dst agg), saw {n_ex}")
+    if raw.count("Sort [src") != 1:
+        missing.append("edge-side Sort not eliminated by sorted bucketed scan")
+    if missing:
+        failures.append(("pagerank_bucketed_iteration", missing))
+    sections.append(
+        f"## pagerank_bucketed_iteration — {'OK' if not missing else 'MISSING ' + str(missing)}\n\n"
+        "Per-iteration contribs join over the src-bucketed+sorted contribution-edge\n"
+        "table: no edge-side Exchange or Sort; only the rank side moves.\n\n"
+        f"```\n{plan.strip()}\n```\n"
+    )
+
+
 def main():
     spark = get_spark(app="explain-audit", cores=8, shuffle_partitions=8)
     qs = Q.queries()
     sections, failures = [], []
     audit_crawl_plans(spark, sections, failures)
+    audit_pagerank_bucketed(spark, sections, failures)
     for name in sorted(qs):
         plan = plan_of(qs[name](spark, SF_DIR))
         checks = AUDITS.get(name, [])
