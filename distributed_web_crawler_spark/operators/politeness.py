@@ -48,6 +48,7 @@ def schedule(
     policy: PolitenessPolicy,
     persisted: list | None = None,
     priority=None,
+    grade=None,
 ) -> Tuple[DataFrame, DataFrame]:
     """Compute a depth's ENTIRE politeness schedule in one window pass:
     returns (admitted_now, scheduled) where `admitted_now` is sub-round 0's
@@ -86,11 +87,24 @@ def schedule(
     (e.g. a precomputed pagerank joined onto the pending set): per-host
     order becomes (priority DESC, url_hash, url) and budgets/sub-round
     slicing are unchanged. The range-chunk decomposition above is keyed
-    to url_hash ORDER and does not apply to an arbitrary key, so this
-    path ranks with the plain per-host window — at mega-host scale a
-    priority drain should bucket its priority into a coarse grade column
-    and feed (grade, url_hash) here instead (grades are
-    range-decomposable the same way)."""
+    to url_hash ORDER and does not apply to an arbitrary continuous key,
+    so this path ranks with the plain per-host window — at mega-host
+    scale pass `grade` instead.
+
+    `grade`: optional Column expression of a COARSE priority grade (small
+    int, higher = drain first — e.g. a quantized pagerank). Per-host
+    order becomes (grade DESC, url_hash, url) and the ranking decomposes
+    over (host, grade, url_hash-chunk) windows: grade is a PREFIX of the
+    sort order and the hash-chunk is monotone within a grade, so each
+    window group is contiguous in the global per-host order and
+    local-rank + prefix-offset reproduces the single-window rank exactly
+    — a mega-host's priority drain runs in up to grades ×
+    2^RANK_CHUNK_BITS tasks instead of one (the same discipline as the
+    plain path; r5 VERDICT Next #5). The offset table stays
+    control-plane sized (hosts × grades × chunks rows, broadcast)
+    provided the grade is genuinely coarse (≤ ~100 distinct values)."""
+    if priority is not None and grade is not None:
+        raise ValueError("pass either priority (exact, single-window) or grade (coarse, decomposed)")
     if priority is not None:
         w = Window.partitionBy("host").orderBy(
             priority.desc(), F.col("url_hash").asc(), F.col("url").asc()
@@ -108,31 +122,42 @@ def schedule(
             .drop("_rn", "_budget")
         )
         return admitted, scheduled
-    chunk = F.shiftright(F.col("url_hash"), 64 - RANK_CHUNK_BITS)
-    local = pending.withColumn("_chunk", chunk)
-    # per-(host, chunk) row counts -> per-chunk rank offsets (prefix sum
-    # over the host's earlier chunks). The offset table is an aggregate —
-    # at most hosts × 2^RANK_CHUNK_BITS rows — so its own window runs on
+    local = pending.withColumn(
+        "_chunk", F.shiftright(F.col("url_hash"), 64 - RANK_CHUNK_BITS)
+    )
+    # decomposition key: (host[, grade], chunk). grade (DESC) is a prefix
+    # of the per-host sort order and chunk is monotone within it, so each
+    # window group is CONTIGUOUS in the global order — local rank + the
+    # prefix-count offset of earlier groups equals the single-window rank.
+    gcols = []
+    off_order = [F.col("_chunk").asc()]
+    if grade is not None:
+        local = local.withColumn("_grade", grade.cast("int"))
+        gcols = ["_grade"]
+        off_order = [F.col("_grade").desc(), F.col("_chunk").asc()]
+    # per-group row counts -> per-group rank offsets (prefix sum over the
+    # host's earlier groups). The offset table is an aggregate — at most
+    # hosts × grades × 2^RANK_CHUNK_BITS rows — so its own window runs on
     # control-plane-sized data and the join back is an explicit broadcast.
     ow = (
         Window.partitionBy("host")
-        .orderBy("_chunk")
+        .orderBy(*off_order)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     offsets = (
-        local.groupBy("host", "_chunk")
+        local.groupBy("host", *gcols, "_chunk")
         .agg(F.count("*").alias("_c"))
         .withColumn("_off", F.coalesce(F.sum("_c").over(ow), F.lit(0)))
-        .select("host", "_chunk", "_off")
+        .select("host", *gcols, "_chunk", "_off")
     )
-    w = Window.partitionBy("host", "_chunk").orderBy(
+    w = Window.partitionBy("host", *gcols, "_chunk").orderBy(
         F.col("url_hash").asc(), F.col("url").asc()
     )
     ranked = (
         local.withColumn("_lrn", F.row_number().over(w))
-        .join(F.broadcast(offsets), ["host", "_chunk"])
+        .join(F.broadcast(offsets), ["host", *gcols, "_chunk"])
         .withColumn("_rn", F.col("_lrn") + F.col("_off"))
-        .drop("_chunk", "_lrn", "_off")
+        .drop("_chunk", "_lrn", "_off", *gcols)
         .withColumn("_budget", budget_col(F.col("host"), policy))
     )
     if persisted is not None:

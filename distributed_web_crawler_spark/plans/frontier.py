@@ -507,6 +507,81 @@ class FrontierEngine:
             out[r] = stats
         return out
 
+    def unverified_rounds(self, job_id: str) -> List[int]:
+        """Committed rounds that ADMITTED pages but carry no payload-verify
+        stats. In pipelined mode, a driver killed between a round's commit
+        and its verify finalize leaves exactly this signature — an absent
+        verify.json sidecar — so the round's rows are durable but its
+        payloads unverified (r4 VERDICT Next #8). Only meaningful when the
+        job ran with verify_payloads."""
+        store = self.store(job_id)
+        verified = self.payload_stats(job_id)
+        return [
+            r
+            for r in store.committed_rounds()
+            if store.read_commit(r).get("n_admitted", 0) > 0 and r not in verified
+        ]
+
+    def _verify_stats(self, admitted_keyed: DataFrame) -> dict:
+        return (
+            fetch_and_verify(self.spark, self.corpus_path, admitted_keyed, self.spec)
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("pixels_ok").cast("int")).alias("n_pixels_ok"),
+                F.sum(F.col("phash_ok").cast("int")).alias("n_phash_ok"),
+                F.sum(F.col("caption_ok").cast("int")).alias("n_caption_ok"),
+                F.min("psnr").alias("min_psnr"),
+            )
+            .collect()[0]
+            .asDict()
+        )
+
+    def reverify_round(self, job_id: str, r: int) -> dict:
+        """Re-run payload verification for an already-committed round whose
+        verify died pre-finalize (see unverified_rounds) and write its
+        missing verify.json sidecar. The admitted set is re-derived from
+        the PREVIOUS commit's frontier manifest — sub-round 0 re-ranks the
+        pending components (the politeness schedule is a pure function of
+        the data, so the slice is reproduced exactly), later sub-rounds
+        read their stored due-slices — so this works as long as vacuum has
+        not swept the consumed components; after that the inputs are gone
+        and the read raises, which is the honest answer (re-verify before
+        maintenance, or re-crawl the round)."""
+        store = self.store(job_id)
+        prev = store.read_commit(r - 1)
+        manifest = prev["frontier_manifest"]
+        d = min(e[1] for e in manifest)
+        sub = prev["sub_round"] + 1 if prev["depth"] == d else 0
+        entries_d = [e for e in manifest if e[1] == d]
+        if sub == 0:
+            pending = self._read_components(
+                [os.path.join(store.dir, e[0]) for e in entries_d]
+            )
+            admitted = (
+                pending
+                if self.cfg.politeness is None
+                else schedule(pending, self.cfg.politeness)[0]
+            )
+        else:
+            consumed = [e for e in entries_d if len(e) > 3 and e[3] == sub]
+            admitted = self._read_components(
+                [os.path.join(store.dir, e[0]) for e in consumed]
+            )
+        admitted_keyed = admitted.withColumn(
+            "image_id", U.image_id_of(F.col("url"))
+        ).withColumn(
+            "corpus_bucket",
+            F.pmod(U.page_index(F.col("url")), F.lit(C.N_BUCKETS)).cast("int"),
+        )
+        stats = self._verify_stats(admitted_keyed)
+        _atomic_write(
+            os.path.join(store.round_dir(r), "verify.json"),
+            json.dumps(
+                {k: (float(v) if v is not None else None) for k, v in stats.items()}
+            ).encode(),
+        )
+        return stats
+
     # ------------------------------------------------------------ compaction
     def compact_seen(self, job_id: str) -> dict:
         """Merge all current seen components (previous compaction + later
@@ -697,18 +772,7 @@ class FrontierEngine:
                 # bucket-pruning collect would otherwise block this thread.
                 def _verify():
                     t0 = time.monotonic()
-                    stats = (
-                        fetch_and_verify(self.spark, self.corpus_path, admitted_keyed, self.spec)
-                        .agg(
-                            F.count("*").alias("n"),
-                            F.sum(F.col("pixels_ok").cast("int")).alias("n_pixels_ok"),
-                            F.sum(F.col("phash_ok").cast("int")).alias("n_phash_ok"),
-                            F.sum(F.col("caption_ok").cast("int")).alias("n_caption_ok"),
-                            F.min("psnr").alias("min_psnr"),
-                        )
-                        .collect()[0]
-                        .asDict()
-                    )
+                    stats = self._verify_stats(admitted_keyed)
                     # the verify job's own wall: with pipeline_verify the phase
                     # table only shows residual WAIT, so this is the one place
                     # an operator can still read what verification actually

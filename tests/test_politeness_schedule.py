@@ -182,3 +182,64 @@ def test_priority_drain_orders_by_rank_within_budget(spark):
     for due, urls in per_due.items():
         lo = due * budget
         assert set(urls) == {r[0] for r in ordered[lo : lo + budget]}
+
+
+def test_megahost_graded_priority_drain_decomposes_and_matches(spark):
+    """r5 VERDICT Next #5: the PRIORITY-ordered mega-host drain. A coarse
+    grade column (quantized priority) re-enables the range-chunk
+    decomposition: the row_number window partitions by (host, _grade,
+    _chunk) — never host alone — and local-rank + prefix offsets
+    reproduce the single-window (grade DESC, url_hash, url) schedule
+    exactly, budgets and due slicing unchanged."""
+    import pandas as pd
+    from pyspark.sql import Window, functions as F
+
+    from distributed_web_crawler_spark.functions import urls as U
+    from distributed_web_crawler_spark.operators.politeness import (
+        RANK_CHUNK_BITS,
+        budget_col,
+        schedule,
+    )
+
+    pol = PolitenessPolicy(round_duration_ms=2000)
+    urls = [f"http://h0000.test/p/{i}" for i in range(1500)]  # ONE mega-host
+    df = (
+        spark.createDataFrame(pd.DataFrame({"url": urls, "prio": [(i * 13) % 997 for i in range(1500)]}))
+        .withColumn("url_hash", U.url_hash(F.col("url")))
+        .withColumn("host", U.host_of(F.col("url")))
+        .withColumn("seen_bucket", F.lit(0))
+        .withColumn("depth", F.lit(0))
+    )
+    # coarse grade: priority quantized to 8 levels (higher = first)
+    g = (F.col("prio") / F.lit(125)).cast("int")
+    admitted, scheduled = schedule(df, pol, grade=g)
+
+    # decomposition evidence: the big window is keyed by grade AND chunk
+    plan = scheduled._jdf.queryExecution().optimizedPlan().toString()
+    rn_lines = [ln for ln in plan.splitlines() if "row_number()" in ln]
+    assert rn_lines, plan
+    assert all("_chunk" in ln and "_grade" in ln for ln in rn_lines), rn_lines
+    # the mega-host genuinely spans many window groups, each far below the
+    # host's total: max group size bounds the largest single rank task
+    groups = (
+        df.withColumn("_grade", g)
+        .withColumn("_chunk", F.shiftright("url_hash", 64 - RANK_CHUNK_BITS))
+        .groupBy("_grade", "_chunk")
+        .count()
+        .collect()
+    )
+    assert len(groups) >= 32
+    assert max(r["count"] for r in groups) <= 120  # ~1500/8/64 * slack
+
+    # exact parity with the single-window graded schedule
+    w = Window.partitionBy("host").orderBy(
+        g.desc(), F.col("url_hash").asc(), F.col("url").asc()
+    )
+    want = {
+        r["url"]: r["rn"]
+        for r in df.withColumn("rn", F.row_number().over(w)).collect()
+    }
+    b = df.select(budget_col(F.col("host"), pol).alias("b")).first()["b"]
+    assert {r["url"] for r in admitted.collect()} == {u for u, rn in want.items() if rn <= b}
+    got_due = {r["url"]: r["due"] for r in scheduled.collect()}
+    assert got_due == {u: (rn + b - 1) // b - 1 for u, rn in want.items() if rn > b}

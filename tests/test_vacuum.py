@@ -94,3 +94,48 @@ def test_atomic_table_compact(tmp_path):
     # writes continue normally after compaction
     assert led.submit("J99", "c", "u99", 1, now=200.0)
     assert led.get("J99") is not None
+
+
+def test_verify_sidecars_survive_vacuum_and_dead_verify_is_recoverable(spark, corpus_1k, tmp_path):
+    """r4 VERDICT Next #8, closed properly: (a) verify.json sidecars are
+    never touched by vacuum; (b) a round whose pipelined verify died
+    pre-finalize is detectable (unverified_rounds) and re-verifiable
+    (reverify_round re-derives the admitted set from the manifest and
+    writes the missing sidecar with full invariant stats)."""
+    import json
+
+    from distributed_web_crawler_spark.oracle.crawler import RobotsPolicy
+
+    spec, path = corpus_1k
+    pol = PolitenessPolicy(round_duration_ms=4000)
+    eng = FrontierEngine(
+        spark, str(tmp_path / "wh"), path, spec,
+        EngineConfig(politeness=pol, robots=RobotsPolicy(), use_bloom=True,
+                     seen_buckets=8, verify_payloads=True, pipeline_verify=True),
+    )
+    seed_i = next(i for i in range(spec.n) if len(C.out_links(i, spec)) >= 3)
+    eng.run_job("v", C.url_of(seed_i, spec), 2)
+    store = eng.store("v")
+    stats_before = eng.payload_stats("v")
+    assert stats_before, "pipelined run produced no verify sidecars"
+    assert eng.unverified_rounds("v") == []
+
+    # (a) sidecars survive vacuum (incl. forced staging sweep)
+    store.vacuum(staging_age_s=0.0)
+    assert eng.payload_stats("v") == stats_before
+
+    # (b) simulate a driver killed between commit and finalize: the round's
+    # commit exists, its sidecar does not
+    victim = max(stats_before)
+    os.remove(os.path.join(store.round_dir(victim), "verify.json"))
+    assert eng.unverified_rounds("v") == [victim]
+
+    redo = eng.reverify_round("v", victim)
+    assert eng.unverified_rounds("v") == []
+    with open(os.path.join(store.round_dir(victim), "verify.json")) as f:
+        side = json.load(f)
+    want = stats_before[victim]
+    # identical invariant stats (verify_wall_ms is timing, not an invariant)
+    for k in ("n", "n_pixels_ok", "n_phash_ok", "n_caption_ok"):
+        assert side[k] == want[k] == float(redo[k])
+    assert side["n"] == side["n_pixels_ok"] == side["n_phash_ok"] == side["n_caption_ok"] > 0
