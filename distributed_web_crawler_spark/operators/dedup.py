@@ -63,10 +63,23 @@ def ngram_array(text_col, n: int):
     ).otherwise(F.array().cast("array<string>"))
 
 
+def fan_out(docs: DataFrame) -> DataFrame:
+    """Spread the doc scan across the cluster BEFORE the ~50×-expanding
+    shingle explode. A small corpus file arrives as one input split, and
+    everything downstream of the explode would run single-task (measured:
+    the whole minhash signature on 1 of 32 cores); hashing by doc_id keeps
+    the distribution deterministic. The exchange moves only the pre-explode
+    doc rows — 50× fewer bytes than repartitioning shingles would."""
+    return docs.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, F.col("doc_id")
+    )
+
+
 def shingles(docs: DataFrame, n: int = SHINGLE) -> DataFrame:
     """Distinct n-word shingles per doc: (doc_id, s)."""
     return (
-        docs.select("doc_id", F.explode(ngram_array(F.col("text"), n)).alias("s"))
+        fan_out(docs)
+        .select("doc_id", F.explode(ngram_array(F.col("text"), n)).alias("s"))
         .dropDuplicates(["doc_id", "s"])
     )
 
@@ -78,8 +91,23 @@ def minhash_signatures(docs: DataFrame, k: int = N_MINHASHES, sh: DataFrame | No
     row; the affine family is the textbook MinHash construction and needs
     one — at k=32 that is the difference between a narrow map and 32 md5
     evaluations per shingle.) Pass `sh` to reuse an already-built (e.g.
-    cached) shingle set."""
-    sh = (shingles(docs) if sh is None else sh).select(
+    cached) shingle set.
+
+    No shingle dedup on the standalone path: MIN is
+    multiplicity-insensitive, so min over the raw shingle stream equals
+    min over the distinct set — the dropDuplicates the jaccard path needs
+    (set sizes) would cost this query its only wide-row shuffle (doc_id +
+    shingle STRINGS) for zero effect on the signature. The plan is then
+    explode → hash → one groupBy(doc_id) whose map-side partial agg
+    collapses each partition to ≤1 row per doc before the exchange."""
+    raw = (
+        fan_out(docs).select(
+            "doc_id", F.explode(ngram_array(F.col("text"), SHINGLE)).alias("s")
+        )
+        if sh is None
+        else sh
+    )
+    sh = raw.select(
         "doc_id", hash60(F.col("s")).bitwiseAND(F.lit(_MH_MASK)).alias("h30")
     )
     aggs = [
@@ -198,7 +226,7 @@ def simhash16(docs: DataFrame) -> DataFrame:
     """16-bit SimHash over distinct words: bit b is the sign of the vote
     sum over tokens of ±1 by the token hash's bit b."""
     words = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
-    toks = docs.select("doc_id", F.explode(words).alias("w")).dropDuplicates(["doc_id", "w"])
+    toks = fan_out(docs).select("doc_id", F.explode(words).alias("w")).dropDuplicates(["doc_id", "w"])
     toks = toks.withColumn("h", hash60(F.col("w")))
     votes = [
         F.sum(
@@ -308,4 +336,8 @@ def winnow_fingerprints(docs: DataFrame, k: int = WINNOW_K, w: int = WINNOW_W) -
                 out_fp += sel
             yield pd.DataFrame({"doc_id": out_doc, "fp_hash": out_fp})
 
-    return docs.select("doc_id", "text").mapInPandas(win, schema="doc_id long, fp_hash long")
+    return (
+        fan_out(docs)
+        .select("doc_id", "text")
+        .mapInPandas(win, schema="doc_id long, fp_hash long")
+    )

@@ -187,7 +187,9 @@ def repetition_stats(docs: DataFrame, n: int = 2) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=["doc_id", "n_grams", "n_distinct", "_top"])
 
-    raw = docs.select("doc_id", "text").mapInPandas(
+    from ..operators.dedup import fan_out
+
+    raw = fan_out(docs).select("doc_id", "text").mapInPandas(
         rep, schema="doc_id long, n_grams long, n_distinct long, _top long"
     )
     nz = F.col("n_grams") > 0
@@ -222,7 +224,9 @@ def line_dedup_stats(docs: DataFrame, min_count: int = 3) -> DataFrame:
         F.transform(F.split(F.col("text"), r"\."), lambda x: F.trim(x)),
         lambda x: x != "",
     )
-    sents = docs.select("doc_id", F.explode(lines).alias("s")).select(
+    from ..operators.dedup import fan_out
+
+    sents = fan_out(docs).select("doc_id", F.explode(lines).alias("s")).select(
         "doc_id", hash60(F.col("s")).alias("h")
     )
     counts = sents.groupBy("h").agg(F.count("*").alias("c"))
