@@ -99,6 +99,36 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select("url", F.round("rank", 6).alias("rank"))
 
 
+def q_pagerank_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the src-BUCKETED contribution-edge layout — the
+    100-TB shape whose per-iteration join has no edge-side Exchange
+    (machine-asserted in tests/test_pagerank_bucketed.py and PLANS.md).
+    Same graph, same oracle as `pagerank`: the layout must not change a
+    single value. The layout is written ONCE per sf_dir (a one-time
+    layout job at 100 TB) and cached under the tempdir like the ANN
+    bucketed layout; a fresh session re-registers the existing files as
+    an external bucketed table with the same CLUSTERED/SORTED spec
+    instead of rewriting them."""
+    import hashlib
+    import tempfile
+
+    from .operators.pagerank import pagerank_on_table, write_edges_bucketed
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    name = f"pr_edges_corr_{tag}"
+    path = os.path.join(tempfile.gettempdir(), f"pr_bucketed_{tag}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        edges = _order_part_edges(_t(spark, sf_dir, "lineitem"))
+        write_edges_bucketed(edges, name, n_buckets=16, path=path)
+    elif not spark.catalog.tableExists(name):
+        spark.sql(
+            f"CREATE TABLE {name} (src STRING, dst STRING, w DOUBLE) USING parquet "
+            f"CLUSTERED BY (src) SORTED BY (src) INTO 16 BUCKETS LOCATION '{path}'"
+        )
+    pr = pagerank_on_table(spark, name, n_iters=PAGERANK_ITERS, damping=PAGERANK_D)
+    return pr.select("url", F.round("rank", 6).alias("rank"))
+
+
 PAGERANK_ITERS = 3
 PAGERANK_D = 0.85
 
@@ -907,6 +937,8 @@ r{t} AS (
 
 
 ORACLE_SQL["pagerank"] = _pagerank_oracle_sql(PAGERANK_ITERS, PAGERANK_D)
+# the bucketed-layout path must produce the identical ranks
+ORACLE_SQL["pagerank_bucketed"] = ORACLE_SQL["pagerank"]
 
 def _ivf_dots_sql(vec_expr: str) -> str:
     """Per-centroid rounded dot products of a DOUBLE[] expression — the
@@ -1300,6 +1332,7 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bfs_frontier": q_bfs_frontier,
         "pagerank": q_pagerank,
+        "pagerank_bucketed": q_pagerank_bucketed,
         "frontier_anti_join": q_frontier_anti_join,
         "depth_collect": q_depth_collect,
         "recovery_scan": q_recovery_scan,
