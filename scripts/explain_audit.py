@@ -48,6 +48,10 @@ AUDITS = {
     # — a raw 3-iteration plan here would mean the state discipline broke);
     # the per-iteration join/agg runs eagerly inside pagerank()
     "pagerank": ["Scan ExistingRDD"],
+    # same checkpointed-state discipline through the bucketed-layout path
+    # (the no-edge-side-Exchange assertion itself runs in
+    # audit_pagerank_bucketed below, on the raw per-iteration join)
+    "pagerank_bucketed": ["Scan ExistingRDD"],
     # bucket-as-partition-key layout: the probe set must reach the scan as
     # a PARTITION filter (directory pruning), not a post-scan filter
     "ann_topk_partitioned": ["TakeOrderedAndProject", "PartitionFilters: [bucket"],
@@ -64,6 +68,7 @@ FORBIDDEN = {
     "image_neardup": ["CartesianProduct", "BroadcastNestedLoopJoin"],
     "minhash_signature": ["CartesianProduct"],
     "pagerank": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    "pagerank_bucketed": ["CartesianProduct", "BroadcastNestedLoopJoin"],
 }
 
 
