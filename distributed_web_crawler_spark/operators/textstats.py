@@ -23,12 +23,18 @@ def _words(text_col):
     return F.split(F.trim(F.lower(text_col)), r"\s+")
 
 
+def token_count_col(text_col):
+    """Whitespace token count as a Column — the unit the packing manifest
+    (operators/packing.py) budgets sequences in."""
+    return F.size(_words(text_col))
+
+
 def token_count(docs: DataFrame) -> DataFrame:
     """Whitespace tokens + BPE-ish regex tokens (letters / digits / single
     punctuation), per SURVEY-brief 'token counting'."""
     return docs.select(
         "doc_id",
-        F.size(_words(F.col("text"))).alias("n_ws_tokens"),
+        token_count_col(F.col("text")).alias("n_ws_tokens"),
         F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0)).alias(
             "n_bpeish_tokens"
         ),
@@ -51,11 +57,11 @@ def quality_score(docs: DataFrame) -> DataFrame:
     )
 
 
-def lang_id(docs: DataFrame) -> DataFrame:
-    """Marker-word language guess with a deterministic tie-break order
-    (en > de > fr > es > unknown). Structurally the classic stopword-vote
-    language-ID; marker sets are fixtures."""
-    words = _words(F.col("text"))
+def lang_guess_col(text_col):
+    """Marker-word language guess as a Column, deterministic tie-break
+    order (en > de > fr > es > unknown) — shared by lang_id and the
+    domain-mix reweighting (operators/packing.py)."""
+    words = _words(text_col)
 
     def _hits(markers):
         # NB: the lambda must be unary — F.filter treats a second parameter
@@ -63,14 +69,19 @@ def lang_id(docs: DataFrame) -> DataFrame:
         return F.size(F.filter(words, lambda w: w.isin(markers)))
 
     hits = {lang: _hits(markers) for lang, markers in LANG_MARKERS.items()}
-    guess = (
+    return (
         F.when((hits["en"] > 0) & (hits["en"] >= hits["de"]) & (hits["en"] >= hits["fr"]) & (hits["en"] >= hits["es"]), "en")
         .when((hits["de"] > 0) & (hits["de"] >= hits["fr"]) & (hits["de"] >= hits["es"]), "de")
         .when((hits["fr"] > 0) & (hits["fr"] >= hits["es"]), "fr")
         .when(hits["es"] > 0, "es")
         .otherwise("unknown")
     )
-    return docs.select("doc_id", "lang", guess.alias("lang_guess"))
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Marker-word language guess — structurally the classic stopword-vote
+    language-ID; marker sets are fixtures."""
+    return docs.select("doc_id", "lang", lang_guess_col(F.col("text")).alias("lang_guess"))
 
 
 def fingerprint(docs: DataFrame) -> DataFrame:

@@ -264,6 +264,32 @@ def q_contamination_report(spark, sf_dir):
     return T.contamination_report(_t(spark, sf_dir, "documents"))
 
 
+PACK_SEQ_LEN = 64  # tokens per packed training sequence (fixture scale)
+MIX_TARGETS = {"en": 0.4, "de": 0.3, "fr": 0.2, "es": 0.1}
+
+
+def q_sequence_pack(spark, sf_dir):
+    """GPT-style packing manifest: documents concatenated in doc_id order
+    and sliced into PACK_SEQ_LEN-token sequences — each doc's global token
+    prefix, spanned sequence range, and offset in its first sequence
+    (operators/packing.py; the global prefix-sum is range-chunk
+    decomposed, never a single-task window). Oracle: the identical SQL
+    window cumsum."""
+    from .operators.packing import sequence_pack
+
+    return sequence_pack(_t(spark, sf_dir, "documents"), seq_len=PACK_SEQ_LEN)
+
+
+def q_domain_mix_weights(spark, sf_dir):
+    """Data-mixture reweighting: per-doc sampling weight =
+    target_share / actual_share of the doc's guessed language, so
+    weighted sampling reproduces MIX_TARGETS (strata not in the target
+    get 0). One tiny broadcast aggregate — no corpus shuffle."""
+    from .operators.packing import domain_mix_weights
+
+    return domain_mix_weights(_t(spark, sf_dir, "documents"), MIX_TARGETS)
+
+
 def q_stratified_sample(spark, sf_dir):
     return T.stratified_sample(_t(spark, sf_dir, "documents"))
 
@@ -814,6 +840,43 @@ SELECT doc_id, lang,
 FROM documents""",
     "doc_fingerprint": """
 SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp FROM documents""",
+    "sequence_pack": f"""
+WITH toks AS (
+  SELECT doc_id, CAST(len({_TOKS}) AS INT) AS n_tokens FROM documents
+),
+pre AS (
+  SELECT doc_id, n_tokens,
+         coalesce(sum(CAST(n_tokens AS BIGINT))
+                  OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_start
+  FROM toks
+)
+SELECT doc_id, n_tokens, tok_start,
+       tok_start // {PACK_SEQ_LEN} AS seq_first,
+       greatest((tok_start + n_tokens - 1) // {PACK_SEQ_LEN}, tok_start // {PACK_SEQ_LEN}) AS seq_last,
+       tok_start % {PACK_SEQ_LEN} AS offset_in_first
+FROM pre""",
+    "domain_mix_weights": f"""
+WITH lang AS (
+  SELECT doc_id,
+  CASE
+    WHEN {_lang_markers_sql('en')} > 0 AND {_lang_markers_sql('en')} >= {_lang_markers_sql('de')}
+         AND {_lang_markers_sql('en')} >= {_lang_markers_sql('fr')} AND {_lang_markers_sql('en')} >= {_lang_markers_sql('es')} THEN 'en'
+    WHEN {_lang_markers_sql('de')} > 0 AND {_lang_markers_sql('de')} >= {_lang_markers_sql('fr')}
+         AND {_lang_markers_sql('de')} >= {_lang_markers_sql('es')} THEN 'de'
+    WHEN {_lang_markers_sql('fr')} > 0 AND {_lang_markers_sql('fr')} >= {_lang_markers_sql('es')} THEN 'fr'
+    WHEN {_lang_markers_sql('es')} > 0 THEN 'es'
+    ELSE 'unknown'
+  END AS language
+  FROM documents
+),
+shares AS (
+  SELECT language, CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM lang) AS actual_share
+  FROM lang GROUP BY 1
+),
+tgt(language, target_share) AS (VALUES ('de', 0.3), ('en', 0.4), ('es', 0.1), ('fr', 0.2))
+SELECT l.doc_id, l.language,
+       round(coalesce(t.target_share / s.actual_share, 0.0), 6) AS weight
+FROM lang l JOIN shares s USING (language) LEFT JOIN tgt t USING (language)""",
     "minhash_signature": _minhash_select(),
     "minhash_lsh_pairs": f"""
 WITH {_SHINGLES_CTE}, {_SHB_CTE},
@@ -1356,6 +1419,8 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "contamination_report": q_contamination_report,
         "stratified_sample": q_stratified_sample,
+        "sequence_pack": q_sequence_pack,
+        "domain_mix_weights": q_domain_mix_weights,
         "embedding_topk": q_embedding_topk,
         "label_centroids": q_label_centroids,
         "ann_topk": q_ann_topk,
