@@ -1,0 +1,44 @@
+"""Plan-regression smoke for the load-bearing physical-plan properties
+(the full audit lives in scripts/explain_audit.py → PLANS.md; this keeps
+the cheapest, highest-value assertions in the per-commit suite at
+sf0.001)."""
+
+import io
+from contextlib import redirect_stdout
+
+from distributed_web_crawler_spark import queries as Q
+
+SF_DIR = "/root/testdata/sf0.001"
+
+MUST_CONTAIN = {
+    "frontier_anti_join": ["BroadcastHashJoin", "LeftAnti"],
+    "recovery_scan": ["TakeOrderedAndProject"],
+    "status_histogram": ["ReadSchema: struct<o_orderstatus:string,o_orderpriority:string>"],
+    "embedding_topk": ["TakeOrderedAndProject"],
+    "ann_topk_partitioned": ["PartitionFilters: [bucket"],
+    # the packing prefix-sum must be chunk-partitioned, never one window
+    "sequence_pack": ["hashpartitioning(_chunk"],
+}
+FORBIDDEN = {
+    "minhash_signature": ["CartesianProduct"],
+    "image_neardup": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    "pagerank": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    "sequence_pack": ["CartesianProduct"],
+}
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_headline_plan_properties(spark):
+    qs = Q.queries()
+    for name in sorted(set(MUST_CONTAIN) | set(FORBIDDEN)):
+        plan = _plan(qs[name](spark, SF_DIR))
+        for frag in MUST_CONTAIN.get(name, []):
+            assert frag in plan, (name, frag, plan)
+        for frag in FORBIDDEN.get(name, []):
+            assert frag not in plan, (name, frag)
