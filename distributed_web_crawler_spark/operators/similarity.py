@@ -403,6 +403,62 @@ def ivf_topk(
     return cosine_topk(survivors, query_vec, k)
 
 
+def write_cell_partitioned(
+    embeddings: DataFrame, path: str, dim: int, n_centroids: int = 16
+) -> None:
+    """Materialize the 100-TB IVF layout: the inverted-list CELL as the
+    vector table's PARTITION KEY (the third instance of the layout
+    discipline, after write_bucket_partitioned's sign-LSH buckets and
+    pagerank's src-bucketed edges). Cells are assigned by the same
+    6-dp-rounded double argmax as every query path (ivf_assign /
+    ivf_topk's inline kernel / the SQL oracle), so a probe set computed
+    from the query selects exactly the right partition directories. Same
+    Arrow-batched numpy kernel + explicit-count repartition as the ANN
+    writer (AQE never coalesces a user-pinned repartition; one writer
+    task per shuffle partition is also the only shape at 10^10 vectors)."""
+    import numpy as np
+
+    cm = np.array(ivf_centroids(dim, n_centroids)).T  # (dim, C)
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            E = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+            pdf = pdf.copy()
+            pdf["embedding"] = [list(map(float, r)) for r in E]
+            pdf["cell"] = np.round(E @ cm, 6).argmax(axis=1).astype(np.int32)
+            yield pdf
+
+    df = embeddings.select("vec_id", "embedding").mapInPandas(
+        assign, schema="vec_id long, embedding array<double>, cell int"
+    )
+    n_writers = embeddings.sparkSession.sparkContext.defaultParallelism
+    df.repartition(n_writers, F.col("cell")).write.partitionBy("cell").mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def ivf_topk_partitioned(
+    spark,
+    path: str,
+    query_vec: Sequence[float],
+    k: int = 10,
+    dim: int = None,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """ivf_topk over a cell-PARTITIONED vector table — the n_probe
+    restriction becomes a PARTITION FILTER the scan prunes on: no per-row
+    centroid argmax at query time, no bytes read outside the probe cells'
+    directories. Results identical to ivf_topk on the unpartitioned table
+    (same oracle); dim is taken from the query vector when omitted."""
+    dim = len(query_vec) if dim is None else dim
+    probe = ivf_probe_cells(query_vec, dim, n_centroids, n_probe)
+    survivors = spark.read.parquet(path).filter(F.col("cell").isin(probe))
+    return cosine_topk(survivors, query_vec, k)
+
+
 def label_centroid_norms(embeddings: DataFrame) -> DataFrame:
     """Per-label aggregate stats: count + mean vector norm (rounded)."""
     return (

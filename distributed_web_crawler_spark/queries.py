@@ -353,32 +353,27 @@ def q_ann_topk(spark, sf_dir):
     return S.ann_topk(emb, _query_vec(spark, sf_dir), EMB_DIM, k=10, n_planes=N_PLANES, n_flip=N_FLIP)
 
 
-def q_ann_topk_partitioned(spark, sf_dir):
-    """ann_topk with the bucket as the vector table's PARTITION KEY — the
-    scan prunes to the probe set's directories instead of mapping every
-    row through the sign matmul (operators/similarity.py
-    ann_topk_partitioned). The layout is materialized once per sf_dir into
-    a temp cache (the one-time rewrite_data_files analog); the oracle is
-    ann_topk's — identical results, different physical plan."""
+def _ensure_layout(spark, sf_dir: str, name: str, build) -> str:
+    """Materialize a derived vector-table layout once per sf_dir into a
+    temp cache (the one-time rewrite_data_files analog) and return its
+    path. Cache key = source identity + CONTENT fingerprint (mtime+size):
+    a regenerated sf_dir at the same path must rebuild, not silently
+    score against the old layout. Build into a unique staging dir and
+    publish by atomic rename so concurrent processes never overwrite each
+    other (loser discards its staging)."""
+    import glob
     import hashlib
     import shutil
     import tempfile
+    import time
 
-    # cache key = source identity + CONTENT fingerprint (mtime+size): a
-    # regenerated sf_dir at the same path must rebuild, not silently score
-    # against the old layout. Build into a unique staging dir and publish
-    # by atomic rename so concurrent processes never overwrite each other
-    # (loser discards its staging).
     src = os.path.join(sf_dir, "embeddings.parquet")
     st = os.stat(src)
     tag = hashlib.md5(
         f"{os.path.abspath(src)}:{st.st_mtime_ns}:{st.st_size}".encode()
     ).hexdigest()[:12]
-    path = os.path.join(tempfile.gettempdir(), f"ann_bucketed_{tag}_p{N_PLANES}")
+    path = os.path.join(tempfile.gettempdir(), f"{name}_{tag}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        import glob
-        import time
-
         # sweep staging dirs orphaned by crashed builders of this same tag
         # (age-guarded: a LIVE concurrent builder's staging is recent)
         for orphan in glob.glob(f"{path}.tmp*"):
@@ -388,7 +383,7 @@ def q_ann_topk_partitioned(spark, sf_dir):
             except FileNotFoundError:
                 pass
         staging = f"{path}.tmp{os.getpid()}"
-        S.write_bucket_partitioned(_t(spark, sf_dir, "embeddings"), staging, EMB_DIM, N_PLANES)
+        build(staging)
         try:
             os.rename(staging, path)
         except OSError:
@@ -399,8 +394,41 @@ def q_ann_topk_partitioned(spark, sf_dir):
             shutil.rmtree(staging, ignore_errors=True)
             if not os.path.exists(os.path.join(path, "_SUCCESS")):
                 raise
+    return path
+
+
+def q_ann_topk_partitioned(spark, sf_dir):
+    """ann_topk with the bucket as the vector table's PARTITION KEY — the
+    scan prunes to the probe set's directories instead of mapping every
+    row through the sign matmul (operators/similarity.py
+    ann_topk_partitioned); the oracle is ann_topk's — identical results,
+    different physical plan."""
+    path = _ensure_layout(
+        spark, sf_dir, f"ann_bucketed_p{N_PLANES}",
+        lambda staging: S.write_bucket_partitioned(
+            _t(spark, sf_dir, "embeddings"), staging, EMB_DIM, N_PLANES
+        ),
+    )
     return S.ann_topk_partitioned(
         spark, path, _query_vec(spark, sf_dir), EMB_DIM, k=10, n_planes=N_PLANES, n_flip=N_FLIP
+    )
+
+
+def q_ivf_topk_partitioned(spark, sf_dir):
+    """ivf_topk with the inverted-list CELL as the vector table's
+    partition key — the n_probe restriction becomes a partition filter
+    (operators/similarity.py ivf_topk_partitioned), completing the layout
+    triad (ANN sign-LSH buckets, pagerank src buckets, IVF cells). Oracle
+    is ivf_topk's — identical results, different physical plan."""
+    path = _ensure_layout(
+        spark, sf_dir, "ivf_cells",
+        lambda staging: S.write_cell_partitioned(
+            _t(spark, sf_dir, "embeddings"), staging, EMB_DIM
+        ),
+    )
+    return S.ivf_topk_partitioned(
+        spark, path, _query_vec(spark, sf_dir), k=10,
+        n_centroids=N_CENTROIDS, n_probe=N_PROBE,
     )
 
 
@@ -1041,6 +1069,9 @@ ranked AS (
   FROM scored
 )
 SELECT rank, vec_id, sim_bucket FROM ranked WHERE rank <= 10"""
+# the cell-partitioned layout path must produce identical results
+ORACLE_SQL["ivf_topk_partitioned"] = ORACLE_SQL["ivf_topk"]
+
 
 def _band_key_sql(vec_expr: str, band: int, band_planes: int = 6) -> str:
     """One band's sign-LSH key — SAME hyperplanes + 6-dp rounding as the
@@ -1426,6 +1457,7 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "ann_topk_partitioned": q_ann_topk_partitioned,
         "ivf_topk": q_ivf_topk,
+        "ivf_topk_partitioned": q_ivf_topk_partitioned,
         "embedding_dedup_pairs": q_embedding_dedup_pairs,
         "salted_host_agg": q_salted_host_agg,
         "windowed_metrics": q_windowed_metrics,

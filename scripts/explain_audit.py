@@ -56,6 +56,9 @@ AUDITS = {
     # a PARTITION filter (directory pruning), not a post-scan filter
     "ann_topk_partitioned": ["TakeOrderedAndProject", "PartitionFilters: [bucket"],
     "ivf_topk": ["TakeOrderedAndProject"],
+    # cell-as-partition-key: the n_probe set must reach the scan as a
+    # PARTITION filter (directory pruning), not a post-scan filter
+    "ivf_topk_partitioned": ["TakeOrderedAndProject", "PartitionFilters: [cell"],
     # image near-dup: the exact Hamming verify stays JVM-side (bit_count
     # over xor — no Python); the banded candidate join must be an EQUI-join
     # (hash or sort-merge, broadcast at oracle scale) — the FORBIDDEN list
