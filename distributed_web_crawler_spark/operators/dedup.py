@@ -341,3 +341,136 @@ def winnow_fingerprints(docs: DataFrame, k: int = WINNOW_K, w: int = WINNOW_W) -
         .select("doc_id", "text")
         .mapInPandas(win, schema="doc_id long, fp_hash long")
     )
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunk dedup (CDC). Anchoring after LBFS (Muthitacharoen,
+# Chen, Mazieres, "A Low-bandwidth Network File System", SOSP'01) applied to
+# normalized page text: a chunk boundary falls wherever the Karp-Rabin k-gram
+# hash (the B2 channel of the winnowing family above) is 0 mod CDC_MOD.
+# Boundaries are a pure function of local CONTENT, so an insertion or deletion
+# shifts only the one or two chunks it touches — every chunk downstream of the
+# edit re-synchronizes and still matches the other copy, which is exactly what
+# line/fixed-block dedup cannot do. Complements the family: exact (whole-doc),
+# line (whole-line boilerplate), MinHash/SimHash (document similarity),
+# winnowing (shared-substring fingerprints), CDC (shared-SPAN accounting with
+# per-doc duplicated-character totals).
+#
+# 100-TB shape: the kernel is a narrow Arrow-batched map emitting ~n/CDC_MOD
+# chunks per n-char doc; chunks are fingerprinted to 60-bit ints BEFORE the
+# first exchange, so the three shuffles — partial agg by (doc_id, fp), window
+# by fp, final agg by doc_id — carry only (long, long, long) rows, ~16 bytes
+# per ~64 chars of corpus (0.25x amplification; stride-1 exact-substring
+# grouping would be 16x). No all-pairs surface anywhere. A production CDC adds
+# min/max chunk bounds (sequential within a doc, still doc-local); the pure
+# anchoring here keeps the boundary set stateless so the DuckDB oracle can
+# reproduce it relationally.
+CDC_K = 8  # anchor gram width (chars, normalized text) — winnowing's k
+CDC_MOD = 64  # anchor rate: 1 anchor per 64 grams expected => ~64-char chunks
+
+
+def cdc_anchor_sql(tn_expr: str, i_expr: str, k: int = CDC_K) -> str:
+    """DuckDB rendering of the anchor predicate's hash: the B2 channel of
+    winnow_gram_hash mod CDC_MOD (2^31 ≡ 0 mod 64, so the packed hash's
+    residue IS the B2 channel's — one channel suffices)."""
+    terms = " + ".join(
+        f"CAST(ord(substr({tn_expr}, CAST({i_expr} + {j} AS INT), 1)) AS BIGINT)"
+        f" * {pow(WINNOW_B2, j, WINNOW_P)}"
+        for j in range(k)
+    )
+    return f"((({terms}) % {WINNOW_P}) % {CDC_MOD})"
+
+
+def cdc_chunk_ref(text: str, k: int = CDC_K, mod: int = CDC_MOD) -> list:
+    """Pure-Python reference chunker (tests/oracles): normalized text cut at
+    every position i>0 whose k-gram B2-hash is 0 mod `mod`."""
+    import re
+
+    tn = re.sub(r"[^a-z0-9]", "", str(text).lower())
+    if len(tn) < k:
+        return []
+    cuts = [0] + [
+        i
+        for i in range(1, len(tn) - k + 1)
+        if sum(ord(c) * pow(WINNOW_B2, j, WINNOW_P) for j, c in enumerate(tn[i : i + k]))
+        % WINNOW_P
+        % mod
+        == 0
+    ] + [len(tn)]
+    return [tn[s:e] for s, e in zip(cuts, cuts[1:])]
+
+
+def cdc_chunks(docs: DataFrame, k: int = CDC_K, mod: int = CDC_MOD) -> DataFrame:
+    """(doc_id, chunk) rows: normalized text tiled into content-defined
+    chunks (chunks concatenate back to the normalized text exactly; docs
+    shorter than k normalized chars emit nothing). The gram-hash pass is the
+    same k strided numpy multiply-adds as winnow_fingerprints — one channel."""
+    coef = [pow(WINNOW_B2, j, WINNOW_P) for j in range(k)]
+
+    def cut(batches):
+        import re
+
+        import numpy as np
+        import pandas as pd
+
+        P = np.uint64(WINNOW_P)
+        M = np.uint64(mod)
+        c2 = [np.uint64(c) for c in coef]
+        for pdf in batches:
+            out_doc, out_chunk = [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                tn = re.sub(r"[^a-z0-9]", "", str(text).lower())
+                n = len(tn) - k + 1
+                if n <= 0:
+                    continue
+                cs = np.frombuffer(tn.encode("ascii"), dtype=np.uint8).astype(np.uint64)
+                h = np.zeros(n, np.uint64)
+                for j in range(k):
+                    h += cs[j : j + n] * c2[j]
+                anchors = np.flatnonzero((h % P) % M == 0)
+                cuts = [int(a) for a in anchors if a > 0]
+                for s, e in zip([0] + cuts, cuts + [len(tn)]):
+                    out_doc.append(did)
+                    out_chunk.append(tn[s:e])
+            yield pd.DataFrame({"doc_id": out_doc, "chunk": out_chunk})
+
+    return (
+        fan_out(docs)
+        .select("doc_id", "text")
+        .mapInPandas(cut, schema="doc_id long, chunk string")
+    )
+
+
+def cdc_chunk_stats(docs: DataFrame, k: int = CDC_K, mod: int = CDC_MOD) -> DataFrame:
+    """Per-doc duplicated-span accounting over content-defined chunks:
+    (doc_id, n_chunks, dup_chunks, dup_chars, total_chars, dup_frac), where a
+    chunk occurrence is "dup" iff its fingerprint appears in >= 2 DISTINCT
+    docs (within-doc repeats alone don't count). total_chars == normalized
+    length by the tiling invariant, so no join back to the corpus is needed."""
+    from pyspark.sql import Window
+
+    ch = cdc_chunks(docs, k, mod).select(
+        "doc_id", hash60(F.col("chunk")).alias("fp"), F.length("chunk").alias("clen")
+    )
+    occ = ch.groupBy("doc_id", "fp").agg(
+        F.count("*").alias("n_occ"), F.sum("clen").alias("occ_chars")
+    )
+    # rows are distinct (doc_id, fp) here, so a plain window count over fp IS
+    # count(distinct doc_id) — no unsupported distinct-over-window needed
+    shared = F.count("*").over(Window.partitionBy("fp")) >= 2
+    zero = F.lit(0).cast("long")
+    return (
+        occ.withColumn("is_shared", shared)
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_occ").alias("n_chunks"),
+            F.sum(F.when(F.col("is_shared"), F.col("n_occ")).otherwise(zero)).alias(
+                "dup_chunks"
+            ),
+            F.sum(F.when(F.col("is_shared"), F.col("occ_chars")).otherwise(zero)).alias(
+                "dup_chars"
+            ),
+            F.sum("occ_chars").alias("total_chars"),
+        )
+        .withColumn("dup_frac", F.col("dup_chars") / F.col("total_chars"))
+    )

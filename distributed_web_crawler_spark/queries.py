@@ -256,6 +256,10 @@ def q_winnow_fingerprint(spark, sf_dir):
     return D.winnow_fingerprints(_t(spark, sf_dir, "documents"))
 
 
+def q_chunk_dedup(spark, sf_dir):
+    return D.cdc_chunk_stats(_t(spark, sf_dir, "documents"))
+
+
 def q_repetition_stats(spark, sf_dir):
     return T.repetition_stats(_t(spark, sf_dir, "documents"))
 
@@ -1393,6 +1397,47 @@ SELECT DISTINCT doc_id, mn AS fp_hash FROM wins
 WHERE i <= greatest(n - {D.WINNOW_W} + 1, 1)"""
 
 
+# CDC chunk dedup: the oracle re-derives the content-defined boundary set
+# relationally — cut position 1 plus every 1-based gram position i >= 2 whose
+# B2-channel hash is 0 mod CDC_MOD (cdc_anchor_sql renders the identical
+# BIGINT arithmetic) — then tiles chunks with lead(i), fingerprints them with
+# the same hash60 md5 construction, and reproduces the distinct-(doc,fp) /
+# window-count-by-fp / per-doc rollup of cdc_chunk_stats. CASTs: DuckDB
+# sum(INTEGER) widens to HUGEINT, Spark to BIGINT.
+ORACLE_SQL["chunk_dedup"] = f"""
+WITH t AS (
+  SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS tn FROM documents
+),
+cuts AS (
+  SELECT doc_id, tn, 1 AS i FROM t WHERE length(tn) >= {D.CDC_K}
+  UNION ALL
+  SELECT doc_id, tn, i
+  FROM t, UNNEST(range(2, length(tn) - {D.CDC_K} + 2)) u(i)
+  WHERE length(tn) >= {D.CDC_K} AND {D.cdc_anchor_sql('tn', 'i')} = 0
+),
+chunks AS (
+  SELECT doc_id,
+         substr(tn, CAST(i AS INT),
+                CAST(COALESCE(lead(i) OVER (PARTITION BY doc_id ORDER BY i),
+                              length(tn) + 1) - i AS INT)) AS chunk
+  FROM cuts
+),
+occ AS (
+  SELECT doc_id, {hash60_sql('chunk')} AS fp,
+         count(*) AS n_occ, sum(length(chunk)) AS occ_chars
+  FROM chunks GROUP BY doc_id, fp
+),
+w AS (SELECT *, count(*) OVER (PARTITION BY fp) AS n_docs FROM occ)
+SELECT doc_id,
+       CAST(sum(n_occ) AS BIGINT) AS n_chunks,
+       CAST(sum(CASE WHEN n_docs >= 2 THEN n_occ ELSE 0 END) AS BIGINT) AS dup_chunks,
+       CAST(sum(CASE WHEN n_docs >= 2 THEN occ_chars ELSE 0 END) AS BIGINT) AS dup_chars,
+       CAST(sum(occ_chars) AS BIGINT) AS total_chars,
+       CAST(sum(CASE WHEN n_docs >= 2 THEN occ_chars ELSE 0 END) AS DOUBLE)
+         / CAST(sum(occ_chars) AS DOUBLE) AS dup_frac
+FROM w GROUP BY doc_id"""
+
+
 # CDC changelog: the oracle re-derives the v1 -> v2 diff relationally from
 # the same deterministic mod-class snapshot definitions the Spark query
 # materializes through the AtomicTable version chain; _version is literal 2
@@ -1445,6 +1490,7 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_verified_pairs": q_jaccard_verified_pairs,
         "simhash": q_simhash,
         "winnow_fingerprint": q_winnow_fingerprint,
+        "chunk_dedup": q_chunk_dedup,
         "line_dedup": q_line_dedup,
         "neardup_clusters": q_neardup_clusters,
         "repetition_stats": q_repetition_stats,

@@ -64,6 +64,14 @@ AUDITS = {
     # (hash or sort-merge, broadcast at oracle scale) — the FORBIDDEN list
     # below rejects the cartesian/nested-loop all-pairs regression
     "image_neardup": ["bit_count"],
+    # CDC chunk dedup: Arrow-batched chunker over a 2-column pruned scan;
+    # chunks are fingerprinted + partially aggregated BEFORE the first
+    # ENSURE_REQUIREMENTS exchange (only (doc,fp,count,sum) rows shuffle)
+    "chunk_dedup": [
+        "MapInPandas",
+        "ReadSchema: struct<doc_id:bigint,text:string>",
+        "HashAggregate",
+    ],
 }
 FORBIDDEN = {
     # a cartesian/nested-loop product in the pair generators is the
@@ -72,6 +80,7 @@ FORBIDDEN = {
     "minhash_signature": ["CartesianProduct"],
     "pagerank": ["CartesianProduct", "BroadcastNestedLoopJoin"],
     "pagerank_bucketed": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    "chunk_dedup": ["CartesianProduct", "BroadcastNestedLoopJoin"],
 }
 
 

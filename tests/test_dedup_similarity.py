@@ -268,3 +268,62 @@ def test_line_dedup_flags_planted_boilerplate(spark):
     assert got[3]["n_boilerplate"] == 0 and got[3]["n_lines"] == 1
     assert got[4]["n_lines"] == 0 and got[4]["boilerplate_frac"] == 0.0
     assert got[5]["n_boilerplate"] == 0 and got[5]["n_lines"] == 3
+
+
+def _cdc_synth_texts():
+    """Deterministic ~2k-char texts: A, an exact copy of A, A with one word
+    inserted mid-text, and two unrelated docs."""
+    import hashlib
+
+    def words(tag, n):
+        return " ".join(
+            hashlib.md5(f"{tag}:{i}".encode()).hexdigest()[:6] for i in range(n)
+        )
+
+    a = words("cdc-a", 300)
+    mid = len(a) // 2
+    a_ins = a[:mid] + " INSERTEDWORD " + a[mid:]
+    return {0: a, 1: a, 2: a_ins, 3: words("cdc-b", 300), 4: words("cdc-c", 300)}
+
+
+def test_cdc_chunks_match_reference_and_tile(spark):
+    """Spark chunker == pure-Python cdc_chunk_ref per doc, in order of
+    concatenation (chunks tile the normalized text exactly)."""
+    import re
+
+    texts = _cdc_synth_texts()
+    docs = spark.createDataFrame(
+        [(d, t) for d, t in texts.items()], "doc_id long, text string"
+    )
+    got = {}
+    for r in D.cdc_chunks(docs).collect():
+        got.setdefault(r["doc_id"], []).append(r["chunk"])
+    for d, t in texts.items():
+        ref = D.cdc_chunk_ref(t)
+        assert sorted(got.get(d, [])) == sorted(ref), f"doc {d}"
+        assert "".join(ref) == re.sub(r"[^a-z0-9]", "", t.lower())
+
+
+def test_cdc_stats_insertion_resync(spark):
+    """The CDC property line/fixed-block dedup lacks: an exact copy is 100%
+    dup, and a single mid-text insertion still leaves most chars shared
+    (boundaries downstream of the edit re-synchronize); unrelated docs
+    share nothing."""
+    texts = _cdc_synth_texts()
+    docs = spark.createDataFrame(
+        [(d, t) for d, t in texts.items()], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in D.cdc_chunk_stats(docs).collect()}
+    for d in (0, 1):  # exact copies: every chunk shared with the twin
+        assert got[d]["dup_chunks"] == got[d]["n_chunks"]
+        assert got[d]["dup_frac"] == 1.0
+    # inserted word breaks only the chunk(s) spanning the edit point
+    assert 0.8 < got[2]["dup_frac"] < 1.0
+    assert got[2]["total_chars"] > got[0]["total_chars"]  # the insertion
+    for d in (3, 4):
+        assert got[d]["dup_chunks"] == 0 and got[d]["dup_frac"] == 0.0
+    # tiling invariant: total_chars == normalized length
+    import re
+
+    for d, t in texts.items():
+        assert got[d]["total_chars"] == len(re.sub(r"[^a-z0-9]", "", t.lower()))
