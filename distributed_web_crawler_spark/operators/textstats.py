@@ -262,3 +262,46 @@ def line_dedup_stats(docs: DataFrame, min_count: int = 3) -> DataFrame:
             ).alias("boilerplate_frac"),
         )
     )
+
+
+def tfidf_top_terms(docs: DataFrame, k: int = 5) -> DataFrame:
+    """Per-doc top-k terms by tf-idf — the classic crawler-downstream
+    ranking statistic (a crawl corpus feeds a search index; Salton &
+    Buckley, 1988). Scored with the RATIONAL idf variant
+    score = tf * N / df (N = docs with >= 1 token): monotone in
+    (tf, 1/df) exactly like log-idf for ranking purposes, but
+    transcendental-free, so the DuckDB oracle reproduces every double
+    bit-for-bit (same discipline as the jaccard / domain-mix oracles;
+    ln() differs across libm implementations in the last ulp).
+
+    100-TB shape: the token explode is narrow (fan_out spreads the doc
+    scan first); tf is one map-side-combinable agg by (doc_id, term); df
+    is a second partial agg OVER THE ALREADY-AGGREGATED (doc_id, term)
+    rows (never a window over term partitions — 'the' would materialize
+    an N-row partition); N broadcasts as a one-row aggregate; the
+    stopword-skewed tf-by-term join is AQE skew-split; the final top-k
+    is a doc-partitioned rank Spark 4 pushes down as WindowGroupLimit
+    (plan-asserted), so only ~k rows per doc survive the last shuffle."""
+    from pyspark.sql import Window
+
+    from ..operators.dedup import fan_out
+
+    tok = (
+        fan_out(docs)
+        .select("doc_id", F.explode(_words(F.col("text"))).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = tf.select(F.countDistinct("doc_id").alias("n_docs"))
+    rnk = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term"))
+    )
+    return (
+        tf.join(dfreq, "term")
+        .join(F.broadcast(n_docs))
+        .withColumn("score", F.round(F.col("tf") * F.col("n_docs") / F.col("df"), 6))
+        .withColumn("rnk", rnk)
+        .filter(F.col("rnk") <= k)
+        .select("doc_id", "term", "tf", "df", "score", "rnk")
+    )

@@ -260,6 +260,39 @@ def q_chunk_dedup(spark, sf_dir):
     return D.cdc_chunk_stats(_t(spark, sf_dir, "documents"))
 
 
+def q_tfidf_top_terms(spark, sf_dir):
+    return T.tfidf_top_terms(_t(spark, sf_dir, "documents"))
+
+
+def q_robots_filter(spark, sf_dir):
+    """Robots path-prefix blocking (operators/robots.py blocked_expr,
+    reference-quirk rule: hosts ≡ 7 mod 16 disallow prefix /p/3) as an
+    oracle slice: synthesize candidate URLs from orders (host = o_custkey
+    mod 64, path = /p/<orderkey>), run the REAL URL parse + predicate —
+    host_num regex with NULL-safe try_cast, path_of, blocked_expr — and
+    report the per-host admission histogram a frontier round reads.
+    Pure Catalyst end to end (no UDF, no Python)."""
+    from .functions import urls as U
+    from .operators.robots import blocked_expr
+
+    url = F.concat(
+        F.lit("http://h"),
+        F.lpad((F.col("o_custkey") % 64).cast("string"), 4, "0"),
+        F.lit(".test/p/"),
+        F.col("o_orderkey").cast("string"),
+    )
+    cand = _t(spark, sf_dir, "orders").select(url.alias("url"))
+    return (
+        cand.withColumn("host_num", U.host_num(F.col("url")))
+        .withColumn("blocked", blocked_expr(F.col("url")))
+        .groupBy("host_num")
+        .agg(
+            F.count("*").alias("n_candidates"),
+            F.sum(F.col("blocked").cast("int")).cast("long").alias("n_blocked"),
+        )
+    )
+
+
 def q_repetition_stats(spark, sf_dir):
     return T.repetition_stats(_t(spark, sf_dir, "documents"))
 
@@ -1438,6 +1471,48 @@ SELECT doc_id,
 FROM w GROUP BY doc_id"""
 
 
+# tf-idf top terms: rational idf (tf * N / df) keeps the score
+# transcendental-free so the doubles match bit-for-bit; the oracle uses the
+# window form of df (equivalent to the operator's agg+join on the distinct
+# (doc_id, term) rows); same \\s+ tokenization as token_count/_TOKS
+ORACLE_SQL["tfidf_top_terms"] = f"""
+WITH tok AS (
+  SELECT doc_id, x AS term FROM documents, UNNEST({_TOKS}) t(x) WHERE x <> ''
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+d AS (SELECT *, count(*) OVER (PARTITION BY term) AS df FROM tf),
+s AS (
+  SELECT doc_id, term, tf, df,
+         round(CAST(tf * (SELECT count(DISTINCT doc_id) FROM tf) AS DOUBLE) / df, 6) AS score
+  FROM d
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rnk FROM s)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, score,
+       CAST(rnk AS INT) AS rnk
+FROM r WHERE rnk <= 5"""
+
+
+# robots filter: the oracle re-renders the URL round-trip (build -> regex
+# parse -> NULL-safe prefix predicate) in DuckDB; pmod == % here because
+# host_num is non-negative by construction
+ORACLE_SQL["robots_filter"] = r"""
+WITH cand AS (
+  SELECT 'http://h' || lpad(CAST(o_custkey % 64 AS VARCHAR), 4, '0')
+         || '.test/p/' || CAST(o_orderkey AS VARCHAR) AS url
+  FROM orders
+),
+p AS (
+  SELECT TRY_CAST(regexp_extract(url, '^https?://h(\d+)\.test', 1) AS INT) AS host_num,
+         regexp_replace(url, '^https?://[^/]+', '') AS path
+  FROM cand
+)
+SELECT host_num,
+       CAST(count(*) AS BIGINT) AS n_candidates,
+       CAST(sum(CASE WHEN COALESCE(host_num % 16 = 7 AND path LIKE '/p/3%', FALSE)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked
+FROM p GROUP BY host_num"""
+
+
 # CDC changelog: the oracle re-derives the v1 -> v2 diff relationally from
 # the same deterministic mod-class snapshot definitions the Spark query
 # materializes through the AtomicTable version chain; _version is literal 2
@@ -1491,6 +1566,8 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "winnow_fingerprint": q_winnow_fingerprint,
         "chunk_dedup": q_chunk_dedup,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "robots_filter": q_robots_filter,
         "line_dedup": q_line_dedup,
         "neardup_clusters": q_neardup_clusters,
         "repetition_stats": q_repetition_stats,

@@ -72,6 +72,10 @@ AUDITS = {
         "ReadSchema: struct<doc_id:bigint,text:string>",
         "HashAggregate",
     ],
+    # tf-idf: the per-doc top-k rank must be limit-pushed below the final
+    # shuffle (WindowGroupLimit), tokens stay JVM-side (explode Generate
+    # feeding a partial agg), and the 1-row N aggregate broadcasts
+    "tfidf_top_terms": ["WindowGroupLimit", "Generate", "HashAggregate"],
 }
 FORBIDDEN = {
     # a cartesian/nested-loop product in the pair generators is the

@@ -327,3 +327,40 @@ def test_cdc_stats_insertion_resync(spark):
 
     for d, t in texts.items():
         assert got[d]["total_chars"] == len(re.sub(r"[^a-z0-9]", "", t.lower()))
+
+
+def test_tfidf_top_terms_ranking(spark):
+    """Rational tf-idf semantics: corpus-wide terms score tf*N/N = tf,
+    doc-unique terms score tf*N, rare repeated terms win the top slot,
+    ties break alphabetically, and at most k rows per doc come back."""
+    from distributed_web_crawler_spark.operators.textstats import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (0, "common zebra zebra zebra common filler0"),
+            (1, "common filler1 filler1"),
+            (2, "common aaa bbb"),
+            (3, "common"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = tfidf_top_terms(docs).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for d, rs in by_doc.items():
+        assert len(rs) <= 5
+        assert [r["rnk"] for r in sorted(rs, key=lambda r: r["rnk"])] == list(
+            range(1, len(rs) + 1)
+        )
+    # 'common' is in all 4 docs: df=4=N -> score == tf
+    common = {r["doc_id"]: r for r in rows if r["term"] == "common"}
+    assert common[0]["score"] == 2.0 and common[1]["score"] == 1.0
+    # doc 0's winner: 'zebra' tf=3 df=1 -> 3*4/1 = 12
+    top0 = min(by_doc[0], key=lambda r: r["rnk"])
+    assert (top0["term"], top0["score"]) == ("zebra", 12.0)
+    # doc 2: 'aaa' and 'bbb' tie at 1*4/1=4 -> alphabetical tie-break
+    r2 = sorted(by_doc[2], key=lambda r: r["rnk"])
+    assert [r["term"] for r in r2] == ["aaa", "bbb", "common"]
+    # doc 3 has the single corpus-wide term: score 1.0, rank 1
+    assert [(r["term"], r["score"], r["rnk"]) for r in by_doc[3]] == [("common", 1.0, 1)]
