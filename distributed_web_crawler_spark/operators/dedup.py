@@ -400,38 +400,42 @@ def cdc_chunk_ref(text: str, k: int = CDC_K, mod: int = CDC_MOD) -> list:
     return [tn[s:e] for s, e in zip(cuts, cuts[1:])]
 
 
+def cdc_chunk_batch(text: str, k: int = CDC_K, mod: int = CDC_MOD) -> list:
+    """Vectorized per-doc chunker (the mapInPandas kernel body, factored
+    out so the property tests can drive it against cdc_chunk_ref without
+    Spark): the gram-hash pass is the same k strided numpy multiply-adds
+    as winnow_fingerprints — one channel."""
+    import re
+
+    import numpy as np
+
+    tn = re.sub(r"[^a-z0-9]", "", str(text).lower())
+    n = len(tn) - k + 1
+    if n <= 0:
+        return []
+    cs = np.frombuffer(tn.encode("ascii"), dtype=np.uint8).astype(np.uint64)
+    h = np.zeros(n, np.uint64)
+    for j in range(k):
+        h += cs[j : j + n] * np.uint64(pow(WINNOW_B2, j, WINNOW_P))
+    anchors = np.flatnonzero((h % np.uint64(WINNOW_P)) % np.uint64(mod) == 0)
+    cuts = [int(a) for a in anchors if a > 0]
+    return [tn[s:e] for s, e in zip([0] + cuts, cuts + [len(tn)])]
+
+
 def cdc_chunks(docs: DataFrame, k: int = CDC_K, mod: int = CDC_MOD) -> DataFrame:
     """(doc_id, chunk) rows: normalized text tiled into content-defined
     chunks (chunks concatenate back to the normalized text exactly; docs
-    shorter than k normalized chars emit nothing). The gram-hash pass is the
-    same k strided numpy multiply-adds as winnow_fingerprints — one channel."""
-    coef = [pow(WINNOW_B2, j, WINNOW_P) for j in range(k)]
+    shorter than k normalized chars emit nothing)."""
 
     def cut(batches):
-        import re
-
-        import numpy as np
         import pandas as pd
 
-        P = np.uint64(WINNOW_P)
-        M = np.uint64(mod)
-        c2 = [np.uint64(c) for c in coef]
         for pdf in batches:
             out_doc, out_chunk = [], []
             for did, text in zip(pdf["doc_id"], pdf["text"]):
-                tn = re.sub(r"[^a-z0-9]", "", str(text).lower())
-                n = len(tn) - k + 1
-                if n <= 0:
-                    continue
-                cs = np.frombuffer(tn.encode("ascii"), dtype=np.uint8).astype(np.uint64)
-                h = np.zeros(n, np.uint64)
-                for j in range(k):
-                    h += cs[j : j + n] * c2[j]
-                anchors = np.flatnonzero((h % P) % M == 0)
-                cuts = [int(a) for a in anchors if a > 0]
-                for s, e in zip([0] + cuts, cuts + [len(tn)]):
+                for c in cdc_chunk_batch(text, k, mod):
                     out_doc.append(did)
-                    out_chunk.append(tn[s:e])
+                    out_chunk.append(c)
             yield pd.DataFrame({"doc_id": out_doc, "chunk": out_chunk})
 
     return (

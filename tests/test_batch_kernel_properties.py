@@ -54,3 +54,20 @@ def test_host_of_batch_matches_scalar(idx_list, n):
     spec = C.CorpusSpec(n=n)
     got = C.host_of_batch(np.asarray(idx_list, np.int64), spec)
     assert [int(h) for h in got] == [C.host_of(i, spec) for i in idx_list]
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.text(alphabet=st.characters(codec="ascii"), min_size=0, max_size=400))
+def test_cdc_chunk_batch_matches_scalar_reference(text):
+    """The numpy CDC chunker equals the pure-Python reference on arbitrary
+    ascii text (normalization strips the rest to [a-z0-9]), and chunks
+    tile the normalized text exactly."""
+    import re
+
+    from distributed_web_crawler_spark.operators import dedup as D
+
+    got = D.cdc_chunk_batch(text)
+    assert got == D.cdc_chunk_ref(text)
+    tn = re.sub(r"[^a-z0-9]", "", text.lower())
+    assert "".join(got) == (tn if len(tn) >= D.CDC_K else "")
+    assert all(c for c in got)  # never an empty chunk
