@@ -1,0 +1,89 @@
+"""HITS (hubs & authorities) over a DIRECTED edge DataFrame — the second
+frontier-prioritization signal next to operators/pagerank.py (the
+reference drains its queue FIFO, Server/Master/master.go; a production
+crawler ranks candidate pages by authority and seed lists by hub score —
+either column slots into politeness.schedule(priority=/grade=) exactly
+like pagerank's rank does).
+
+Semantics (Kleinberg's iteration, unnormalized until the end):
+    auth_t(v) = Σ_{(u,v)∈E} hub_{t-1}(u)
+    hub_t(u)  = Σ_{(u,v)∈E} auth_t(v)
+starting from hub_0 ≡ 1 over N = |distinct nodes|; parallel edges
+contribute multiplicity (matching the oracle's plain join arithmetic).
+Because hub_0 is integral, EVERY interim value is an exact integer in
+double precision (sums of integers, no division) until the single final
+normalization by the global max — so the DuckDB oracle matches
+bit-for-bit, with none of pagerank's 1e-15 association-noise margin.
+Final scores are max-normalized to [0, 1] (max of exact integers is
+exact; one correctly-rounded division per row) and rounded to 6 dp.
+
+Scale shape (100 TB): each iteration joins the edge table twice — by src
+(auth inflow) and by dst (hub outflow) — so the at-scale layout is TWO
+bucketed copies of the edge table, one clustered by src and one by dst
+(the same one-time layout pagerank's write_edges_bucketed demonstrates;
+a real deployment derives both from one pass over the crawl log). Only
+the O(nodes) score frames move per iteration. Iteration state uses the
+shared IterationState discipline (operators/bfs.py): O(1) cached
+generations at any iteration depth.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .bfs import IterationState
+
+
+def hits(edges: DataFrame, n_iters: int = 2, checkpoint_every: int = 5) -> DataFrame:
+    """edges: (src string, dst string), duplicates allowed. Returns
+    (url string, hub double, auth double), max-normalized and UNROUNDED —
+    callers compare on a rounded projection (q_hits rounds to 6 dp)."""
+    spark = edges.sparkSession
+    edges = edges.persist()
+    nodes = (
+        edges.select(F.col("src").alias("url"))
+        .unionByName(edges.select(F.col("dst").alias("url")))
+        .distinct()
+        .persist()
+    )
+    if nodes.count() == 0:  # materializes both persisted frames
+        edges.unpersist()
+        nodes.unpersist()
+        return spark.createDataFrame([], "url string, hub double, auth double")
+
+    st = IterationState(checkpoint_every)
+    state = st.step(
+        nodes.select("url", F.lit(1.0).alias("hub"), F.lit(0.0).alias("auth")), 1
+    )
+    for it in range(1, n_iters + 1):
+        inflow = (
+            edges.join(state.select(F.col("url").alias("src"), "hub"), "src")
+            .groupBy("dst")
+            .agg(F.sum("hub").alias("a"))
+        )
+        auth = nodes.join(inflow.withColumnRenamed("dst", "url"), "url", "left").select(
+            "url", F.coalesce(F.col("a"), F.lit(0.0)).alias("auth")
+        )
+        outflow = (
+            edges.join(auth.select(F.col("url").alias("dst"), "auth"), "dst")
+            .groupBy("src")
+            .agg(F.sum("auth").alias("h"))
+        )
+        state = st.step(
+            auth.join(outflow.withColumnRenamed("src", "url"), "url", "left").select(
+                "url", F.coalesce(F.col("h"), F.lit(0.0)).alias("hub"), "auth"
+            ),
+            it,
+        )
+    state = st.finish(state)
+    edges.unpersist()
+    nodes.unpersist()
+
+    # one-row aggregate over the checkpointed O(nodes) state: control-plane
+    # sized, same pattern as pagerank's nodes.count()
+    hmax, amax = state.agg(F.max("hub"), F.max("auth")).collect()[0]
+    return state.select(
+        "url",
+        (F.col("hub") / F.lit(float(hmax) if hmax else 1.0)).alias("hub"),
+        (F.col("auth") / F.lit(float(amax) if amax else 1.0)).alias("auth"),
+    )

@@ -328,15 +328,28 @@ def ivf_centroids(dim: int, n_centroids: int) -> List[List[float]]:
     as literals into the oracle SQL. (A learned k-means codebook slots in
     unchanged: assignment/probe below only consume the vectors. The fixed
     codebook keeps the oracle static — it cannot re-run k-means.)"""
+    return [
+        [m / 1_000_000.0 - 1.0 for m in row]
+        for row in ivf_centroid_micros(dim, n_centroids)
+    ]
+
+
+def ivf_centroid_micros(dim: int, n_centroids: int) -> List[List[int]]:
+    """The codebook's exact INTEGER form: value = m/1e6 − 1.0. Oracles
+    inline this rational expression instead of the float's 17-digit repr —
+    a printed double re-parsed through an engine's decimal-literal path
+    can land 1 ulp away, but (m / 1000000.0 - 1.0) is two correctly
+    rounded ops every engine computes bit-identically."""
     import hashlib
 
     out = []
     for c in range(n_centroids):
-        vec = []
-        for i in range(dim):
-            h = int(hashlib.md5(f"ivf:{c}:{i}".encode()).hexdigest()[:15], 16)
-            vec.append((h % 2_000_001) / 1_000_000.0 - 1.0)
-        out.append(vec)
+        out.append(
+            [
+                int(hashlib.md5(f"ivf:{c}:{i}".encode()).hexdigest()[:15], 16) % 2_000_001
+                for i in range(dim)
+            ]
+        )
     return out
 
 
@@ -465,4 +478,117 @@ def label_centroid_norms(embeddings: DataFrame) -> DataFrame:
         embeddings.select("label", _norm(F.col("embedding")).alias("nrm"))
         .groupBy("label")
         .agg(F.count("*").alias("n"), F.round(F.avg("nrm"), 3).alias("avg_norm"))
+    )
+
+
+# ------------------------------------------------------------------ k-means
+
+def _kmeans_assign(embeddings: DataFrame, cents: List[List[float]]) -> DataFrame:
+    """(vec_id, embedding DOUBLE[], cell) under squared-Euclidean argmin:
+    argmin |x-c|² = argmax(x·c − |c|²/2). Scores are rounded to 6 dp
+    before the argmax and ties break to the LOWEST cell id (numpy argmax
+    first-max == the oracle's ORDER BY score DESC, cell ASC), so the
+    assignment is bit-identical across engines. One BLAS matmul per Arrow
+    batch — the same kernel discipline as ivf_topk/cosine_scores (Spark's
+    higher-order array functions evaluate interpreted per element)."""
+    import numpy as np
+
+    cm = np.asarray(cents, dtype=np.float64)  # (C, dim)
+    half_sq = np.array([_seq_dot(c, c) / 2.0 for c in cents])  # left-fold like SQL
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            E = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+            out = pdf[["vec_id"]].copy()
+            out["embedding"] = [list(map(float, r)) for r in E]
+            out["cell"] = np.round(E @ cm.T - half_sq, 6).argmax(axis=1).astype(np.int32)
+            yield out
+
+    return embeddings.select("vec_id", "embedding").mapInPandas(
+        assign, schema="vec_id long, embedding array<double>, cell int"
+    )
+
+
+def _seq_dot(a: Sequence[float], b: Sequence[float]) -> float:
+    """Left-fold dot product — the association order of DuckDB's
+    list_dot_product and Spark's F.aggregate, NOT numpy's pairwise sum.
+    Used wherever a driver-side scalar must match the oracle's bits."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += float(x) * float(y)
+    return acc
+
+
+def kmeans_fit(
+    embeddings: DataFrame,
+    dim: int,
+    n_centroids: int = 16,
+    n_iters: int = 2,
+) -> DataFrame:
+    """Lloyd's k-means over the embedding column — the codebook TRAINER the
+    IVF docstring (ivf_centroids) points at: the fixed md5 codebook seeds
+    iteration 0, each round reassigns every vector to its nearest centroid
+    and recomputes per-cell means, and the learned codebook slots straight
+    into ivf_assign/write_cell_partitioned. The reference has no analog
+    (its data plane is per-job Go maps); this is the standard
+    training-data-pipeline clustering op (corpus bucketing, diversity
+    sampling, embedding-space pruning).
+
+    Scale shape (10^10 vectors): assignment is one narrow Arrow-batched
+    BLAS matmul per batch (no shuffle); the update is posexplode →
+    partial-aggregated hash agg keyed by (cell, dim) — the shuffle carries
+    n_centroids×dim rows per task, and the collected per-iteration state
+    is the n_centroids×dim codebook itself (control-plane sized, the
+    MLlib discipline). No iteration state accumulates on the cluster.
+
+    Determinism: per-dim means are quantized to exact integer MICRO-units
+    (round(avg·1e6) as long — engines disagree by 1 ulp on round(x, 6) of
+    a double, but agree on integer rounding) and re-enter the next round
+    as micro/1e6, a correctly-rounded division both engines compute
+    bit-identically — so cross-engine float-association noise cannot
+    compound across rounds; assignment scores round to 6 dp before the
+    argmax. Empty cells keep their previous centroid with n=0 (both sides
+    coalesce against the incoming codebook).
+
+    Returns (cell int, n long, centroid array<double> — per-dim means of
+    the FINAL assignment, 6 dp)."""
+    spark = embeddings.sparkSession
+    cents = [list(map(float, c)) for c in ivf_centroids(dim, n_centroids)]
+    stats = None
+    for t in range(n_iters):
+        assigned = _kmeans_assign(embeddings, cents)
+        stats = (
+            assigned.select("cell", F.posexplode("embedding").alias("dim", "v"))
+            .groupBy("cell", "dim")
+            .agg(
+                F.round(F.avg("v") * 1e6).cast("long").alias("cvu"),
+                F.count("*").alias("n"),
+            )
+        )
+        if t == n_iters - 1:
+            break  # the final update is returned declaratively below
+        rows = stats.collect()  # n_centroids × dim rows — the codebook
+        by_cell: dict = {}
+        for r in rows:
+            by_cell.setdefault(r["cell"], list(cents[r["cell"]]))[r["dim"]] = (
+                r["cvu"] / 1e6
+            )
+        cents = [by_cell.get(c, cents[c]) for c in range(n_centroids)]
+    last = cents  # codebook that produced the final assignment
+    res = stats.groupBy("cell").agg(
+        F.max("n").alias("n"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "cvu"))),
+            lambda s: s["cvu"] / F.lit(1000000.0),
+        ).alias("centroid"),
+    )
+    codebook = spark.createDataFrame(
+        [(c, last[c]) for c in range(n_centroids)], "cell int, prev array<double>"
+    )
+    return codebook.join(res, "cell", "left").select(
+        "cell",
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+        F.coalesce(F.col("centroid"), F.col("prev")).alias("centroid"),
     )

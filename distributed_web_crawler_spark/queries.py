@@ -131,6 +131,26 @@ def q_pagerank_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PAGERANK_ITERS = 3
 PAGERANK_D = 0.85
+HITS_ITERS = 2
+
+
+def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hub/authority ranking over the DIRECTED order→part graph
+    (operators/hits.py) — the second frontier-prioritization signal next
+    to pagerank: orders are pure hubs, parts pure authorities, and either
+    score column drops into politeness.schedule(priority=/grade=). The
+    iteration is integer-exact until one final max-normalization, so the
+    chained-CTE oracle matches without pagerank's association-noise
+    margin."""
+    from .operators.hits import hits
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("o"), F.col("l_orderkey")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"),
+    )
+    h = hits(edges, n_iters=HITS_ITERS)
+    return h.select("url", F.round("hub", 6).alias("hub"), F.round("auth", 6).alias("auth"))
 
 
 def q_frontier_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -376,6 +396,19 @@ def q_embedding_topk(spark, sf_dir):
 
 def q_label_centroids(spark, sf_dir):
     return S.label_centroid_norms(_t(spark, sf_dir, "embeddings"))
+
+
+KMEANS_ITERS = 2
+
+
+def q_kmeans_clusters(spark, sf_dir):
+    """Lloyd's k-means over the embedding table (similarity.kmeans_fit):
+    the codebook trainer whose output slots into ivf_assign /
+    write_cell_partitioned. Assignment is a BLAS matmul per Arrow batch;
+    the update is a posexplode partial agg; the oracle replays both
+    rounds as chained CTEs over the inlined md5 init codebook."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.kmeans_fit(emb, EMB_DIM, n_centroids=N_CENTROIDS, n_iters=KMEANS_ITERS)
 
 
 EMB_DIM = 64
@@ -693,6 +726,19 @@ def q_image_resize(spark, sf_dir):
     return resize_images(df, 16, 16).select(
         "image_id", "w", "h", F.sha2(F.col("bytes"), 256).alias("payload_sha")
     )
+
+
+SESSION_GAP_MS = 43_200_000  # 12 h — the sf events' median per-user gap is ~7.4 h
+
+
+def q_session_stats(spark, sf_dir):
+    """Gap-based batch sessionization of the event log
+    (streaming/sessions.session_stats) — the relational twin of the
+    applyInPandasWithState reaper. Exact-integer epoch-ms arithmetic, one
+    user_id Exchange shared by both windows and the aggregate."""
+    from .streaming.sessions import session_stats
+
+    return session_stats(_t(spark, sf_dir, "events"), gap_ms=SESSION_GAP_MS)
 
 
 def q_windowed_metrics(spark, sf_dir):
@@ -1068,6 +1114,43 @@ ORACLE_SQL["pagerank"] = _pagerank_oracle_sql(PAGERANK_ITERS, PAGERANK_D)
 # the bucketed-layout path must produce the identical ranks
 ORACLE_SQL["pagerank_bucketed"] = ORACLE_SQL["pagerank"]
 
+
+def _hits_oracle_sql(n_iters: int) -> str:
+    """operators/hits.py rendered as chained CTEs over the DIRECTED
+    order→part edges: hub_0 ≡ 1, auth_t = inflow of hub_{t-1} (join by
+    dst), hub_t = outflow of auth_t (join by src), one max-normalization
+    + 6-dp round at the end. Every interim value is an exact integer in
+    double precision, so this matches the Spark side bit-for-bit."""
+    sql = """WITH edges AS (
+  SELECT concat('o', l_orderkey) AS src, concat('p', l_partkey) AS dst FROM lineitem
+),
+nodes AS (SELECT DISTINCT src AS url FROM edges UNION SELECT DISTINCT dst FROM edges),
+h0 AS (SELECT url, CAST(1.0 AS DOUBLE) AS hub FROM nodes)"""
+    for t in range(1, n_iters + 1):
+        sql += f""",
+a{t} AS (
+  SELECT no.url, coalesce(sum(h.hub), CAST(0 AS DOUBLE)) AS auth
+  FROM nodes no
+  LEFT JOIN edges e ON e.dst = no.url
+  LEFT JOIN h{t - 1} h ON h.url = e.src
+  GROUP BY no.url
+),
+h{t} AS (
+  SELECT no.url, coalesce(sum(a.auth), CAST(0 AS DOUBLE)) AS hub
+  FROM nodes no
+  LEFT JOIN edges e ON e.src = no.url
+  LEFT JOIN a{t} a ON a.url = e.dst
+  GROUP BY no.url
+)"""
+    return sql + f"""
+SELECT h.url,
+       round(h.hub / (SELECT max(hub) FROM h{n_iters}), 6) AS hub,
+       round(a.auth / (SELECT max(auth) FROM a{n_iters}), 6) AS auth
+FROM h{n_iters} h JOIN a{n_iters} a ON a.url = h.url"""
+
+
+ORACLE_SQL["hits"] = _hits_oracle_sql(HITS_ITERS)
+
 def _ivf_dots_sql(vec_expr: str) -> str:
     """Per-centroid rounded dot products of a DOUBLE[] expression — the
     centroids are the SAME md5-derived codebook the Spark operator uses
@@ -1294,13 +1377,86 @@ def _image_resize_oracle_sql() -> str:
 # seconds of driver CPU): build them lazily on the first oracle_sql()
 # call instead of at import, so entry()/bench paths that never compare
 # against an oracle don't pay for them. Cached into ORACLE_SQL once built.
+def _kmeans_oracle_sql() -> str:
+    """similarity.kmeans_fit replayed as chained CTEs: c0 = the inlined
+    md5 init codebook; per round, assignment = row_number over the
+    6-dp-rounded (x·c − |c|²/2) score (ties to the lowest cell — numpy
+    argmax first-max), update = per-dim means quantized to integer
+    MICRO-units (engines disagree by 1 ulp on round(x, 6) of a double but
+    agree on integer rounding) with keep-previous for empty cells; the
+    micro/1e6 division re-materializing doubles is correctly rounded in
+    both engines, so centroid bits are IDENTICAL and association noise
+    cannot compound."""
+    from .operators.similarity import ivf_centroid_micros
+
+    # exact rational literals, not printed doubles (see ivf_centroid_micros)
+    lits = ", ".join(
+        f"({c}, [{', '.join(f'({m} / 1000000.0 - 1.0)' for m in row)}])"
+        for c, row in enumerate(ivf_centroid_micros(EMB_DIM, N_CENTROIDS))
+    )
+    sql = f"""WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+c0(cell, cen) AS (VALUES {lits})"""
+    for r in range(1, KMEANS_ITERS + 1):
+        sql += f""",
+a{r} AS (
+  SELECT vec_id, e, cell FROM (
+    SELECT b.vec_id, b.e, c.cell,
+           row_number() OVER (PARTITION BY b.vec_id ORDER BY
+             round(list_dot_product(b.e, c.cen) - list_dot_product(c.cen, c.cen) / 2, 6) DESC,
+             c.cell ASC) AS rn
+    FROM b CROSS JOIN c{r - 1} c) WHERE rn = 1
+),
+u{r} AS (
+  SELECT cell, i - 1 AS dim, CAST(round(avg(v) * 1000000) AS BIGINT) AS cvu, count(*) AS n
+  FROM (SELECT cell, unnest(e) AS v, unnest(range(1, {EMB_DIM} + 1)) AS i FROM a{r})
+  GROUP BY cell, i
+)"""
+        if r < KMEANS_ITERS:
+            sql += f""",
+c{r} AS (
+  SELECT c{r - 1}.cell, coalesce(l.cen, c{r - 1}.cen) AS cen
+  FROM c{r - 1} LEFT JOIN (
+    SELECT cell, list(CAST(cvu AS DOUBLE) / 1000000.0 ORDER BY dim) AS cen
+    FROM u{r} GROUP BY cell
+  ) l ON l.cell = c{r - 1}.cell
+)"""
+    last_c, last_u = KMEANS_ITERS - 1, KMEANS_ITERS
+    return sql + f"""
+SELECT c{last_c}.cell, CAST(coalesce(l.n, 0) AS BIGINT) AS n,
+       coalesce(l.cen, c{last_c}.cen) AS centroid
+FROM c{last_c} LEFT JOIN (
+  SELECT cell, max(n) AS n, list(CAST(cvu AS DOUBLE) / 1000000.0 ORDER BY dim) AS cen
+  FROM u{last_u} GROUP BY cell
+) l ON l.cell = c{last_c}.cell"""
+
+
 _LAZY_ORACLE_BUILDERS: Dict[str, Callable[[], str]] = {
     "audio_features": _audio_oracle_sql,
     "video_frame_sample": _video_oracle_sql,
     "image_neardup": _image_neardup_oracle_sql,
     "image_features": _image_features_oracle_sql,
     "image_resize": _image_resize_oracle_sql,
+    "kmeans_clusters": _kmeans_oracle_sql,
 }
+
+ORACLE_SQL["session_stats"] = f"""
+WITH o AS (
+  SELECT user_id, ts, event_id, value, epoch_ms(ts) AS ms,
+         lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pms
+  FROM events
+),
+s AS (
+  SELECT user_id, value, ms,
+         CAST(sum(CASE WHEN pms IS NULL OR ms - pms > {SESSION_GAP_MS} THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_id
+  FROM o
+)
+SELECT user_id, sess_id, count(*) AS n_events,
+       min(ms) AS start_ms, max(ms) AS end_ms,
+       max(ms) - min(ms) AS duration_ms,
+       round(sum(value), 3) AS sum_value
+FROM s GROUP BY user_id, sess_id"""
 
 # connected components as a recursive transitive closure over the SAME
 # verified-pair SQL (fine at oracle scale; the Spark side is the
@@ -1547,6 +1703,7 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_frontier": q_bfs_frontier,
         "pagerank": q_pagerank,
         "pagerank_bucketed": q_pagerank_bucketed,
+        "hits": q_hits,
         "frontier_anti_join": q_frontier_anti_join,
         "depth_collect": q_depth_collect,
         "recovery_scan": q_recovery_scan,
@@ -1577,12 +1734,14 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_mix_weights": q_domain_mix_weights,
         "embedding_topk": q_embedding_topk,
         "label_centroids": q_label_centroids,
+        "kmeans_clusters": q_kmeans_clusters,
         "ann_topk": q_ann_topk,
         "ann_topk_partitioned": q_ann_topk_partitioned,
         "ivf_topk": q_ivf_topk,
         "ivf_topk_partitioned": q_ivf_topk_partitioned,
         "embedding_dedup_pairs": q_embedding_dedup_pairs,
         "salted_host_agg": q_salted_host_agg,
+        "session_stats": q_session_stats,
         "windowed_metrics": q_windowed_metrics,
         "clean_corpus_stats": q_clean_corpus_stats,
         "audio_features": q_audio_features,

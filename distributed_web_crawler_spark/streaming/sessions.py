@@ -99,3 +99,52 @@ def drain_to_memory(spark, df: DataFrame, name: str, done, max_wait_s: float = 1
         if q.isActive:
             q.stop()
     return spark.sql(f"SELECT * FROM {name}").collect()
+
+
+def session_stats(events: DataFrame, gap_ms: int = 600_000) -> DataFrame:
+    """BATCH gap-based sessionization over an event log — the relational
+    twin of the stateful-streaming accounting above (same lifecycle the
+    reference's idle-connection reaper implements with timer sweeps,
+    server.go:139-162: a silence longer than the gap closes the session).
+    Classic crawl/session analytics: a new session starts when a user's
+    inter-event gap exceeds `gap_ms`.
+
+    All arithmetic is exact-integer epoch MILLISECONDS (Spark unix_millis
+    and DuckDB epoch_ms truncate microseconds identically), so the oracle
+    matches bit-for-bit except the 3-dp-rounded value sum (same precedent
+    as windowed_metrics). Order within a user is pinned by (ts, event_id).
+
+    Scale shape: ONE shuffle keyed by user_id; lag + running-sum windows
+    and the session aggregate all share that partitioning (one Exchange in
+    the plan). Session state never leaves the executor — this is the
+    standard log-sessionization shape at any corpus size. A pathological
+    mega-user is bounded by per-user event counts; a stream with unbounded
+    keys belongs to the applyInPandasWithState sibling above, whose state
+    store evicts by timeout instead of windowing.
+
+    Returns (user_id, sess_id, n_events, start_ms, end_ms, duration_ms,
+    sum_value)."""
+    from pyspark.sql import Window, functions as F
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # parquet timestamps arrive NTZ; the session timezone is pinned UTC
+    # (session.py), so this cast is the identity naive→epoch mapping and
+    # unix_millis equals DuckDB's epoch_ms (both truncate microseconds)
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    brk = F.when(
+        F.lag(ms).over(w).isNull() | ((ms - F.lag(ms).over(w)) > gap_ms), F.lit(1)
+    ).otherwise(F.lit(0))
+    sess = events.select(
+        "user_id",
+        "event_id",
+        "value",
+        ms.alias("ms"),
+        F.sum(brk).over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("sess_id"),
+    )
+    return sess.groupBy("user_id", "sess_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ms").alias("start_ms"),
+        F.max("ms").alias("end_ms"),
+        (F.max("ms") - F.min("ms")).alias("duration_ms"),
+        F.round(F.sum("value"), 3).alias("sum_value"),
+    )

@@ -1,0 +1,131 @@
+"""Hand-computable cases for the round-6 additions: HITS hub/authority
+ranking, Lloyd k-means, and batch gap-sessionization. The parametrized
+oracle-equivalence suite (test_queries_vs_duckdb) covers the full-table
+parity; these pin the SEMANTICS against values small enough to verify by
+hand."""
+
+import datetime
+
+import pytest
+
+from distributed_web_crawler_spark.operators.hits import hits
+from distributed_web_crawler_spark.operators.similarity import (
+    ivf_centroids,
+    kmeans_fit,
+)
+from distributed_web_crawler_spark.streaming.sessions import session_stats
+
+DIM = 8
+K = 4
+
+
+def test_hits_hand_graph(spark):
+    # a -> x, a -> y, b -> y  (a, b pure hubs; x, y pure authorities)
+    # hub0 = 1 everywhere
+    # auth1: x=1 (from a), y=2 (a+b);  hub1: a=1+2=3, b=2
+    # auth2: x=3, y=3+2=5;             hub2: a=3+5=8, b=5
+    edges = spark.createDataFrame(
+        [("a", "x"), ("a", "y"), ("b", "y")], "src string, dst string"
+    )
+    out = {r["url"]: (r["hub"], r["auth"]) for r in hits(edges, n_iters=2).collect()}
+    assert out["a"] == (1.0, 0.0)  # hub 8/8
+    assert out["b"] == (5.0 / 8.0, 0.0)
+    assert out["x"] == (0.0, 3.0 / 5.0)
+    assert out["y"] == (0.0, 1.0)  # auth 5/5
+
+
+def test_hits_parallel_edge_multiplicity(spark):
+    # duplicated edge doubles the contribution (matches the oracle's
+    # plain-join arithmetic)
+    edges = spark.createDataFrame(
+        [("a", "x"), ("a", "x"), ("b", "x")], "src string, dst string"
+    )
+    out = {r["url"]: (r["hub"], r["auth"]) for r in hits(edges, n_iters=1).collect()}
+    # auth1: x = 2 (a twice) + 1 (b) = 3;  hub1: a = 2*3 = 6, b = 3
+    assert out["a"][0] == 1.0 and out["b"][0] == 0.5
+    assert out["x"][1] == 1.0
+
+
+def test_hits_empty_graph(spark):
+    edges = spark.createDataFrame([], "src string, dst string")
+    assert hits(edges).collect() == []
+
+
+def test_kmeans_planted_clusters(spark):
+    # plant tight clusters on 3 of the K init centroids: after 2 Lloyd
+    # rounds every point sits in its planted cell, the empty cells carry
+    # the init codebook unchanged, and each learned centroid equals the
+    # planted cluster mean to micro-unit quantization
+    cents = ivf_centroids(DIM, K)
+    rows, expected = [], {}
+    vid = 0
+    for c in (0, 2, 3):
+        pts = []
+        for j in range(5):
+            # deterministic offsets, small vs inter-centroid distances
+            vec = [cents[c][d] + 0.001 * ((j + d) % 3 - 1) for d in range(DIM)]
+            rows.append((vid, vec))
+            pts.append(vec)
+            vid += 1
+        expected[c] = [sum(p[d] for p in pts) / len(pts) for d in range(DIM)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["cell"]: r for r in kmeans_fit(emb, DIM, n_centroids=K, n_iters=2).collect()}
+    assert set(out) == set(range(K))
+    assert sum(r["n"] for r in out.values()) == vid
+    assert out[1]["n"] == 0 and out[1]["centroid"] == pytest.approx(cents[1], abs=0)
+    for c in (0, 2, 3):
+        assert out[c]["n"] == 5
+        assert out[c]["centroid"] == pytest.approx(expected[c], abs=1e-6)
+
+
+def test_kmeans_total_mass_on_sf(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    total = emb.count()
+    out = kmeans_fit(emb, 64, n_centroids=16, n_iters=2).collect()
+    assert len(out) == 16
+    assert sum(r["n"] for r in out) == total
+    assert all(len(r["centroid"]) == 64 for r in out)
+
+
+def _ts(minute):
+    return datetime.datetime(2024, 1, 1, 0, 0) + datetime.timedelta(minutes=minute)
+
+
+def test_session_stats_hand_events(spark):
+    gap_ms = 10 * 60 * 1000  # 10 min
+    rows = [
+        # user 1: events at 0, 5, 9 min (one session), then 30, 33 (second)
+        (1, 1, _ts(0), 1.0),
+        (2, 1, _ts(5), 2.0),
+        (3, 1, _ts(9), 3.0),
+        (4, 1, _ts(30), 4.0),
+        (5, 1, _ts(33), 5.0),
+        # user 2: single event
+        (6, 2, _ts(7), 10.0),
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    out = {
+        (r["user_id"], r["sess_id"]): r
+        for r in session_stats(events, gap_ms=gap_ms).collect()
+    }
+    assert set(out) == {(1, 1), (1, 2), (2, 1)}
+    s11 = out[(1, 1)]
+    assert s11["n_events"] == 3 and s11["duration_ms"] == 9 * 60 * 1000
+    assert s11["sum_value"] == 6.0
+    s12 = out[(1, 2)]
+    assert s12["n_events"] == 2 and s12["duration_ms"] == 3 * 60 * 1000
+    assert out[(2, 1)]["n_events"] == 1 and out[(2, 1)]["duration_ms"] == 0
+
+
+def test_session_boundary_is_strict_gap(spark):
+    # a gap of EXACTLY gap_ms does not break the session (predicate is >)
+    gap_ms = 60_000
+    events = spark.createDataFrame(
+        [(1, 1, _ts(0), 0.0), (2, 1, _ts(1), 0.0), (3, 1, _ts(3), 0.0)],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    out = session_stats(events, gap_ms=gap_ms).collect()
+    # 0→1 min gap == 60000 stays; 1→3 min gap 120000 breaks
+    assert sorted((r["sess_id"], r["n_events"]) for r in out) == [(1, 2), (2, 1)]
