@@ -76,6 +76,24 @@ AUDITS = {
     # shuffle (WindowGroupLimit), tokens stay JVM-side (explode Generate
     # feeding a partial agg), and the 1-row N aggregate broadcasts
     "tfidf_top_terms": ["WindowGroupLimit", "Generate", "HashAggregate"],
+    # hits: the returned frame must be CHECKPOINTED state (same
+    # IterationState discipline as pagerank)
+    "hits": ["Scan ExistingRDD"],
+    # k-means: scan pruned to (vec_id, embedding); assignment is the Arrow
+    # kernel; the posexplode update partial-aggregates before its exchange
+    "kmeans_clusters": [
+        "MapInPandas",
+        "ReadSchema: struct<vec_id:bigint,embedding:array<float>>",
+        "HashAggregate",
+        "Generate",
+    ],
+    # sessionization: both windows + the session aggregate share ONE
+    # user_id exchange (counted in audit_session_stats below); props and
+    # event_type are pruned from the scan
+    "session_stats": [
+        "Window",
+        "ReadSchema: struct<event_id:bigint,ts:timestamp_ntz,user_id:bigint,value:double>",
+    ],
 }
 FORBIDDEN = {
     # a cartesian/nested-loop product in the pair generators is the
@@ -85,7 +103,30 @@ FORBIDDEN = {
     "pagerank": ["CartesianProduct", "BroadcastNestedLoopJoin"],
     "pagerank_bucketed": ["CartesianProduct", "BroadcastNestedLoopJoin"],
     "chunk_dedup": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    "hits": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    "kmeans_clusters": ["CartesianProduct", "BroadcastNestedLoopJoin"],
 }
+
+
+def audit_session_stats(spark, sections, failures):
+    """session_stats' load-bearing property is a COUNT, not a substring:
+    exactly ONE shuffle Exchange — lag window, running-sum window, and the
+    session aggregate all reuse the user_id partitioning (the aggregate's
+    (user_id, sess_id) clustering is satisfied by the user_id-only
+    partitioning, so no second exchange appears)."""
+    import re
+
+    from distributed_web_crawler_spark.queries import q_session_stats
+
+    plan = plan_of(q_session_stats(spark, SF_DIR))
+    n_ex = len(re.findall(r"\+- Exchange \(\d+\)", plan))
+    missing = [] if n_ex == 1 else [f"expected exactly 1 Exchange, saw {n_ex}"]
+    if missing:
+        failures.append(("session_stats_single_exchange", missing))
+    sections.append(
+        f"## session_stats_single_exchange — {'OK' if not missing else 'MISSING ' + str(missing)}\n\n"
+        "Both windows and the session aggregate share one user_id exchange.\n"
+    )
 
 
 def plan_of(df) -> str:
@@ -193,6 +234,7 @@ def main():
     sections, failures = [], []
     audit_crawl_plans(spark, sections, failures)
     audit_pagerank_bucketed(spark, sections, failures)
+    audit_session_stats(spark, sections, failures)
     for name in sorted(qs):
         plan = plan_of(qs[name](spark, SF_DIR))
         checks = AUDITS.get(name, [])

@@ -18,6 +18,10 @@ MUST_CONTAIN = {
     "ann_topk_partitioned": ["PartitionFilters: [bucket"],
     # the packing prefix-sum must be chunk-partitioned, never one window
     "sequence_pack": ["hashpartitioning(_chunk"],
+    # scan pruned to the four consumed columns (props/event_type dropped)
+    "session_stats": [
+        "ReadSchema: struct<event_id:bigint,ts:timestamp_ntz,user_id:bigint,value:double>"
+    ],
 }
 FORBIDDEN = {
     "minhash_signature": ["CartesianProduct"],
@@ -42,3 +46,11 @@ def test_headline_plan_properties(spark):
             assert frag in plan, (name, frag, plan)
         for frag in FORBIDDEN.get(name, []):
             assert frag not in plan, (name, frag)
+
+
+def test_session_stats_single_exchange(spark):
+    # both windows + the session aggregate must share ONE user_id shuffle
+    import re
+
+    plan = _plan(Q.q_session_stats(spark, SF_DIR))
+    assert len(re.findall(r"\+- Exchange \(\d+\)", plan)) == 1, plan
