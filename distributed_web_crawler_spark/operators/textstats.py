@@ -6,7 +6,7 @@ no Python in the hot path; each has an exact DuckDB oracle in queries.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 # deterministic marker-word sets for the language-ID heuristic
 LANG_MARKERS = {
@@ -304,4 +304,68 @@ def tfidf_top_terms(docs: DataFrame, k: int = 5) -> DataFrame:
         .withColumn("rnk", rnk)
         .filter(F.col("rnk") <= k)
         .select("doc_id", "term", "tf", "df", "score", "rnk")
+    )
+
+
+def length_quantiles(docs: DataFrame, quantiles=((50, 1, 2), (90, 9, 10), (99, 99, 100))) -> DataFrame:
+    """Exact per-language doc-length quantiles — the corpus quality-
+    distribution report every filtering pipeline is tuned against
+    (Gopher/C4 publish these as length cutoffs). Each quantile is a true
+    ORDER STATISTIC: the value at 1-based rank ((n−1)·num) DIV den + 1 —
+    pure integer arithmetic, so the oracle matches bit-for-bit (a float
+    p-multiply like (n−1)*0.99 floors differently across engines when the
+    product grazes an integer).
+
+    100-TB shape: NEVER a per-language sort/window over the raw docs (one
+    'en' partition would be a single task holding most of the corpus).
+    Instead: (lang, n_chars) HISTOGRAM via a map-side-combinable agg —
+    bounded by |langs|×|distinct lengths| — then the cumulative-count
+    window and rank probes run on the tiny histogram. quantiles entries
+    are (percent_label, num, den) with p = num/den."""
+    h = docs.groupBy("lang", "n_chars").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("lang").orderBy("n_chars").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = h.select("lang", "n_chars", F.sum("cnt").over(w).alias("cum"))
+    tot = h.groupBy("lang").agg(F.sum("cnt").alias("n_docs"))
+    j = cum.join(F.broadcast(tot), "lang")
+    aggs = []
+    for label, num, den in quantiles:
+        rank = F.expr(f"(n_docs - 1) * {num} DIV {den} + 1")
+        aggs.append(
+            F.min(F.when(F.col("cum") >= rank, F.col("n_chars"))).alias(f"p{label}")
+        )
+    return j.groupBy("lang", "n_docs").agg(*aggs).select(
+        "lang", F.col("n_docs").cast("long").alias("n_docs"), *[f"p{q[0]}" for q in quantiles]
+    )
+
+
+def top_bigrams(docs: DataFrame, k: int = 100) -> DataFrame:
+    """Corpus-level top-k bigrams — the n-gram LM / boilerplate-phrase
+    statistic (repeated navigation phrases dominate a crawl's bigram
+    head). Tokens via the shared `_words` split; adjacent pairs built
+    JVM-side with transform+slice (no Python); count ties break on the
+    bigram string so the top-k is deterministic.
+
+    100-TB shape: explode feeds ONE map-side-combinable count agg (the
+    bigram head is massively combinable — 'of the' collapses per task
+    before the shuffle); the final top-k is orderBy+limit =
+    TakeOrderedAndProject (per-partition heaps + a k-row driver merge),
+    never a global sort."""
+    from ..operators.dedup import fan_out
+
+    toks = fan_out(docs).select(_words(F.col("text")).alias("t"))
+    bg = toks.select(
+        F.explode(
+            F.expr(
+                "transform(slice(t, 1, greatest(size(t) - 1, 0)),"
+                " (x, i) -> concat(x, ' ', t[i + 1]))"
+            )
+        ).alias("bigram")
+    )
+    return (
+        bg.groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram"))
+        .limit(k)
     )

@@ -241,6 +241,23 @@ def q_token_count(spark, sf_dir):
     return T.token_count(_t(spark, sf_dir, "documents"))
 
 
+TOP_BIGRAMS_K = 100
+
+
+def q_length_quantiles(spark, sf_dir):
+    """Exact per-language length order statistics over the histogram-
+    cumsum shape (textstats.length_quantiles) — integer-only rank
+    arithmetic, so the oracle is bit-exact."""
+    return T.length_quantiles(_t(spark, sf_dir, "documents"))
+
+
+def q_top_bigrams(spark, sf_dir):
+    """Corpus top-k bigrams (textstats.top_bigrams): JVM-side pair
+    construction, map-side-combinable count, TakeOrderedAndProject
+    top-k with deterministic (count, bigram) tie-break."""
+    return T.top_bigrams(_t(spark, sf_dir, "documents"), k=TOP_BIGRAMS_K)
+
+
 def q_quality_score(spark, sf_dir):
     return T.quality_score(_t(spark, sf_dir, "documents"))
 
@@ -1439,6 +1456,28 @@ _LAZY_ORACLE_BUILDERS: Dict[str, Callable[[], str]] = {
     "kmeans_clusters": _kmeans_oracle_sql,
 }
 
+ORACLE_SQL["length_quantiles"] = """
+WITH h AS (SELECT lang, n_chars, count(*) AS cnt FROM documents GROUP BY lang, n_chars),
+c AS (SELECT lang, n_chars,
+             sum(cnt) OVER (PARTITION BY lang ORDER BY n_chars ROWS UNBOUNDED PRECEDING) AS cum
+      FROM h),
+t AS (SELECT lang, sum(cnt) AS n_docs FROM h GROUP BY lang)
+SELECT t.lang, CAST(t.n_docs AS BIGINT) AS n_docs,
+       min(CASE WHEN c.cum >= (t.n_docs - 1) * 1 // 2 + 1 THEN c.n_chars END) AS p50,
+       min(CASE WHEN c.cum >= (t.n_docs - 1) * 9 // 10 + 1 THEN c.n_chars END) AS p90,
+       min(CASE WHEN c.cum >= (t.n_docs - 1) * 99 // 100 + 1 THEN c.n_chars END) AS p99
+FROM t JOIN c ON c.lang = t.lang
+GROUP BY t.lang, t.n_docs"""
+
+ORACLE_SQL["top_bigrams"] = f"""
+WITH toks AS (SELECT {_TOKS} AS t FROM documents),
+bg AS (
+  SELECT t[i] || ' ' || t[i + 1] AS bigram
+  FROM (SELECT t, unnest(range(1, len(t))) AS i FROM toks)
+)
+SELECT bigram, count(*) AS n FROM bg GROUP BY bigram
+ORDER BY n DESC, bigram LIMIT {TOP_BIGRAMS_K}"""
+
 ORACLE_SQL["session_stats"] = f"""
 WITH o AS (
   SELECT user_id, ts, event_id, value, epoch_ms(ts) AS ms,
@@ -1714,6 +1753,8 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cache_truncation": q_cache_truncation,
         "exact_dedup": q_exact_dedup,
         "token_count": q_token_count,
+        "length_quantiles": q_length_quantiles,
+        "top_bigrams": q_top_bigrams,
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,

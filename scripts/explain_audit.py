@@ -87,6 +87,16 @@ AUDITS = {
         "HashAggregate",
         "Generate",
     ],
+    # exact quantiles run on the (lang, n_chars) HISTOGRAM (pruned scan,
+    # map-side-combinable agg), never a per-language sort of the raw docs
+    "length_quantiles": [
+        "ReadSchema: struct<lang:string,n_chars:bigint>",
+        "Window",
+        "HashAggregate",
+    ],
+    # bigram counting: JVM-side pair explode feeding a partial agg; the
+    # top-k is TakeOrderedAndProject, never a global sort
+    "top_bigrams": ["Generate", "HashAggregate", "TakeOrderedAndProject"],
     # sessionization: both windows + the session aggregate share ONE
     # user_id exchange (counted in audit_session_stats below); props and
     # event_type are pruned from the scan

@@ -129,3 +129,48 @@ def test_session_boundary_is_strict_gap(spark):
     out = session_stats(events, gap_ms=gap_ms).collect()
     # 0→1 min gap == 60000 stays; 1→3 min gap 120000 breaks
     assert sorted((r["sess_id"], r["n_events"]) for r in out) == [(1, 2), (2, 1)]
+
+
+def test_length_quantiles_hand(spark):
+    from distributed_web_crawler_spark.operators.textstats import length_quantiles
+
+    # 10 docs, lengths 1..10: rank(p50) = (9*1)//2+1 = 5 → value 5;
+    # rank(p90) = (9*9)//10+1 = 9 → 9; rank(p99) = (9*99)//100+1 = 9 → 9
+    rows = [(i, "x", "en", "s", i) for i in range(1, 11)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = length_quantiles(docs).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["lang"], r["n_docs"], r["p50"], r["p90"], r["p99"]) == ("en", 10, 5, 9, 9)
+
+
+def test_length_quantiles_single_doc(spark):
+    from distributed_web_crawler_spark.operators.textstats import length_quantiles
+
+    docs = spark.createDataFrame(
+        [(1, "x", "fr", "s", 42)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    r = length_quantiles(docs).collect()[0]
+    assert (r["p50"], r["p90"], r["p99"]) == (42, 42, 42)
+
+
+def test_top_bigrams_hand(spark):
+    from distributed_web_crawler_spark.operators.textstats import top_bigrams
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "a b x")], "doc_id long, text string"
+    )
+    out = [(r["bigram"], r["n"]) for r in top_bigrams(docs, k=3).collect()]
+    # counts: 'a b' ×3 (twice in doc1, once in doc2), 'b a' ×1, 'b c' ×1,
+    # 'b x' ×1 — ties break alphabetically
+    assert out == [("a b", 3), ("b a", 1), ("b c", 1)]
+
+
+def test_top_bigrams_short_docs(spark):
+    from distributed_web_crawler_spark.operators.textstats import top_bigrams
+
+    docs = spark.createDataFrame([(1, "solo"), (2, "")], "doc_id long, text string")
+    assert top_bigrams(docs, k=5).collect() == []
