@@ -37,9 +37,19 @@ from .bfs import IterationState
 def hits(edges: DataFrame, n_iters: int = 2, checkpoint_every: int = 5) -> DataFrame:
     """edges: (src string, dst string), duplicates allowed. Returns
     (url string, hub double, auth double), max-normalized and UNROUNDED —
-    callers compare on a rounded projection (q_hits rounds to 6 dp)."""
+    callers compare on a rounded projection (q_hits rounds to 6 dp).
+
+    The iteration carries only SUPPORT-SET frames: inflow_t = (dst, auth)
+    for dsts with ≥1 in-edge, outflow_t = (src, hub) for srcs — a node
+    absent from either frame has score 0 and contributes 0 to every
+    downstream sum, so joining the full node set per step (the oracle's
+    rendering) is algebraically redundant; nodes enter once, in the final
+    projection. hub_0 ≡ 1 makes the first inflow the plain in-degree."""
     spark = edges.sparkSession
-    edges = edges.persist()
+    # round-robin the edge scan: a small parquet input arrives as ONE
+    # split, serializing every downstream join (at 100 TB real files split
+    # by maxPartitionBytes and this exchange is noise)
+    edges = edges.repartition(spark.sparkContext.defaultParallelism).persist()
     nodes = (
         edges.select(F.col("src").alias("url"))
         .unionByName(edges.select(F.col("dst").alias("url")))
@@ -52,30 +62,29 @@ def hits(edges: DataFrame, n_iters: int = 2, checkpoint_every: int = 5) -> DataF
         return spark.createDataFrame([], "url string, hub double, auth double")
 
     st = IterationState(checkpoint_every)
-    state = st.step(
-        nodes.select("url", F.lit(1.0).alias("hub"), F.lit(0.0).alias("auth")), 1
-    )
+    inflow = outflow = None
     for it in range(1, n_iters + 1):
-        inflow = (
-            edges.join(state.select(F.col("url").alias("src"), "hub"), "src")
-            .groupBy("dst")
-            .agg(F.sum("hub").alias("a"))
+        if it == 1:
+            inflow = edges.groupBy("dst").agg(F.count("*").cast("double").alias("auth"))
+        else:
+            inflow = (
+                edges.join(outflow, "src").groupBy("dst").agg(F.sum("hub").alias("auth"))
+            )
+        # the last inflow feeds BOTH the final outflow and the final
+        # projection — persist it so that fork does not recompute the chain
+        inflow = st.track(inflow.persist())
+        outflow = st.step(
+            edges.join(inflow, "dst").groupBy("src").agg(F.sum("auth").alias("hub")), it
         )
-        auth = nodes.join(inflow.withColumnRenamed("dst", "url"), "url", "left").select(
-            "url", F.coalesce(F.col("a"), F.lit(0.0)).alias("auth")
+    state = st.finish(
+        nodes.join(outflow.withColumnRenamed("src", "url"), "url", "left")
+        .join(inflow.withColumnRenamed("dst", "url"), "url", "left")
+        .select(
+            "url",
+            F.coalesce(F.col("hub"), F.lit(0.0)).alias("hub"),
+            F.coalesce(F.col("auth"), F.lit(0.0)).alias("auth"),
         )
-        outflow = (
-            edges.join(auth.select(F.col("url").alias("dst"), "auth"), "dst")
-            .groupBy("src")
-            .agg(F.sum("auth").alias("h"))
-        )
-        state = st.step(
-            auth.join(outflow.withColumnRenamed("src", "url"), "url", "left").select(
-                "url", F.coalesce(F.col("h"), F.lit(0.0)).alias("hub"), "auth"
-            ),
-            it,
-        )
-    state = st.finish(state)
+    )
     edges.unpersist()
     nodes.unpersist()
 
