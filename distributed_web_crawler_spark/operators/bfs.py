@@ -116,7 +116,10 @@ def bfs(edges: DataFrame, seed: DataFrame, max_depth: int, checkpoint_every: int
     small) seen set, both broadcast-sized. A frontier too large to broadcast
     flips to the frontier-engine path (bucketed edges + shuffled hash join
     + Bloom seen filters, plans/frontier.py)."""
-    edges = edges.persist()
+    # round-robin first: a small parquet input arrives as ONE split, which
+    # would serialize every round's broadcast probe onto one task (at
+    # 100 TB real files split by maxPartitionBytes; this exchange is noise)
+    edges = edges.repartition(edges.sparkSession.sparkContext.defaultParallelism).persist()
     st = IterationState(checkpoint_every)
     seen = st.step(seed.select(F.col("url"), F.lit(0).alias("depth")), 1)
     frontier = seen

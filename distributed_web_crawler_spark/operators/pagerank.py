@@ -49,7 +49,10 @@ def pagerank(
     contribute multiplicity, matching the SQL oracle). Returns
     (url string, rank double) for every node, rank UNROUNDED — callers
     compare/rank on a rounded projection."""
-    edges = edges.persist()
+    # round-robin first: a small parquet input arrives as ONE split, which
+    # would serialize the degree join and every iteration onto one task
+    # (at 100 TB real files split by maxPartitionBytes — exchange is noise)
+    edges = edges.repartition(edges.sparkSession.sparkContext.defaultParallelism).persist()
     nodes = (
         edges.select(F.col("src").alias("url"))
         .unionByName(edges.select(F.col("dst").alias("url")))
