@@ -70,9 +70,14 @@ def hits(edges: DataFrame, n_iters: int = 2, checkpoint_every: int = 5) -> DataF
             inflow = (
                 edges.join(outflow, "src").groupBy("dst").agg(F.sum("hub").alias("auth"))
             )
-        # the last inflow feeds BOTH the final outflow and the final
-        # projection — persist it so that fork does not recompute the chain
-        inflow = st.track(inflow.persist())
+        if it == n_iters:
+            # the LAST inflow feeds BOTH the final outflow and the final
+            # projection — persist it so that fork does not recompute.
+            # Persisted manually (not st.track): a step-checkpoint at
+            # it == n_iters would release a tracked handle BEFORE the
+            # final projection reads it, forcing a full recompute chain.
+            # Interim inflows are consumed exactly once — no persist.
+            inflow = inflow.persist()
         outflow = st.step(
             edges.join(inflow, "dst").groupBy("src").agg(F.sum("auth").alias("hub")), it
         )
@@ -84,7 +89,8 @@ def hits(edges: DataFrame, n_iters: int = 2, checkpoint_every: int = 5) -> DataF
             F.coalesce(F.col("hub"), F.lit(0.0)).alias("hub"),
             F.coalesce(F.col("auth"), F.lit(0.0)).alias("auth"),
         )
-    )
+    )  # finish() is eager — safe to release inputs below
+    inflow.unpersist()
     edges.unpersist()
     nodes.unpersist()
 

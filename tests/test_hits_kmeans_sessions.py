@@ -174,3 +174,29 @@ def test_top_bigrams_short_docs(spark):
 
     docs = spark.createDataFrame([(1, "solo"), (2, "")], "doc_id long, text string")
     assert top_bigrams(docs, k=5).collect() == []
+
+
+def test_hits_deep_iteration_checkpoint_boundary(spark):
+    # n_iters == checkpoint_every exercises the step-checkpoint firing on
+    # the LAST iteration — the manually-persisted final inflow must
+    # survive it (a tracked handle would be released before the final
+    # projection reads it). Exact integer reference computed locally.
+    import numpy as np
+
+    edges = [("a", "x"), ("a", "y"), ("b", "y"), ("c", "x"), ("c", "z")]
+    nodes = sorted({u for e in edges for u in e})
+    idx = {u: i for i, u in enumerate(nodes)}
+    A = np.zeros((len(nodes), len(nodes)))
+    for s, d in edges:
+        A[idx[s], idx[d]] += 1
+    hub = np.ones(len(nodes))
+    for _ in range(5):
+        auth = A.T @ hub
+        hub = A @ auth
+    exp_hub, exp_auth = hub / hub.max(), auth / auth.max()
+
+    df = spark.createDataFrame(edges, "src string, dst string")
+    out = {r["url"]: r for r in hits(df, n_iters=5, checkpoint_every=5).collect()}
+    for u in nodes:
+        assert out[u]["hub"] == exp_hub[idx[u]], u
+        assert out[u]["auth"] == exp_auth[idx[u]], u
