@@ -200,3 +200,47 @@ def test_hits_deep_iteration_checkpoint_boundary(spark):
     for u in nodes:
         assert out[u]["hub"] == exp_hub[idx[u]], u
         assert out[u]["auth"] == exp_auth[idx[u]], u
+
+
+def test_session_stats_random_model(spark):
+    # seeded random event log vs a pure-Python sessionizer: same sessions,
+    # same counts, same epoch-ms arithmetic
+    import random
+
+    rng = random.Random(1234)
+    gap_ms = 5 * 60 * 1000
+    rows = []
+    eid = 0
+    for uid in range(1, 9):
+        t = datetime.datetime(2024, 3, 1) + datetime.timedelta(seconds=rng.randrange(3600))
+        for _ in range(rng.randrange(1, 40)):
+            rows.append((eid, uid, t, float(rng.randrange(100))))
+            eid += 1
+            t += datetime.timedelta(milliseconds=rng.choice([10, 500, 30_000, 299_999, 300_000, 300_001, 3_600_000]))
+    # python reference (events generated in time order per user)
+    expected = {}
+    for uid in range(1, 9):
+        evs = [(r[2], r[0], r[3]) for r in rows if r[1] == uid]
+        evs.sort()
+        sess, prev = 0, None
+        for ts, _eid, val in evs:
+            # exact integer epoch-ms (naive UTC, like the session tz pin)
+            ms = (ts - datetime.datetime(1970, 1, 1)) // datetime.timedelta(milliseconds=1)
+            if prev is None or ms - prev > gap_ms:
+                sess += 1
+            prev = ms
+            key = (uid, sess)
+            n, lo, hi, sv = expected.get(key, (0, ms, ms, 0.0))
+            expected[key] = (n + 1, min(lo, ms), max(hi, ms), sv + val)
+    events = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    got = {
+        (r["user_id"], r["sess_id"]): (r["n_events"], r["start_ms"], r["end_ms"], r["sum_value"])
+        for r in session_stats(events, gap_ms=gap_ms).collect()
+    }
+    assert set(got) == set(expected)
+    for k, (n, lo, hi, sv) in expected.items():
+        gn, glo, ghi, gsv = got[k]
+        assert (gn, glo, ghi) == (n, lo, hi), k
+        assert gsv == round(sv, 3), k
