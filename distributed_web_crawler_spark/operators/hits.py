@@ -67,9 +67,7 @@ def hits(edges: DataFrame, n_iters: int = 2, checkpoint_every: int = 5) -> DataF
         if it == 1:
             inflow = edges.groupBy("dst").agg(F.count("*").cast("double").alias("auth"))
         else:
-            inflow = (
-                edges.join(outflow, "src").groupBy("dst").agg(F.sum("hub").alias("auth"))
-            )
+            inflow = iteration_inflow(edges, outflow)
         if it == n_iters:
             # the LAST inflow feeds BOTH the final outflow and the final
             # projection — persist it so that fork does not recompute.
@@ -78,9 +76,7 @@ def hits(edges: DataFrame, n_iters: int = 2, checkpoint_every: int = 5) -> DataF
             # final projection reads it, forcing a full recompute chain.
             # Interim inflows are consumed exactly once — no persist.
             inflow = inflow.persist()
-        outflow = st.step(
-            edges.join(inflow, "dst").groupBy("src").agg(F.sum("auth").alias("hub")), it
-        )
+        outflow = st.step(iteration_outflow(edges, inflow), it)
     state = st.finish(
         nodes.join(outflow.withColumnRenamed("src", "url"), "url", "left")
         .join(inflow.withColumnRenamed("dst", "url"), "url", "left")
@@ -93,9 +89,95 @@ def hits(edges: DataFrame, n_iters: int = 2, checkpoint_every: int = 5) -> DataF
     inflow.unpersist()
     edges.unpersist()
     nodes.unpersist()
+    return _normalize(state)
 
-    # one-row aggregate over the checkpointed O(nodes) state: control-plane
-    # sized, same pattern as pagerank's nodes.count()
+
+def write_edges_dual_bucketed(
+    edges: DataFrame, base_name: str, n_buckets: int = 16, base_path: str | None = None
+) -> None:
+    """The at-scale HITS layout the module docstring promises: TWO copies
+    of the edge table, `{base_name}_src` bucketed+sorted by src and
+    `{base_name}_dst` by dst (one file per bucket, same discipline as
+    pagerank.write_edges_bucketed — Iceberg `bucket(N, key)` transforms).
+    `hits_on_tables` then iterates with NO edge-side Exchange on EITHER
+    join: only the O(nodes) score frames move (machine-asserted in
+    tests/test_hits_bucketed.py and PLANS.md)."""
+    for key, suffix in (("src", "_src"), ("dst", "_dst")):
+        writer = (
+            edges.repartition(n_buckets, F.col(key))
+            .write.mode("overwrite")
+            .format("parquet")
+            .bucketBy(n_buckets, key)
+            .sortBy(key)
+        )
+        if base_path is not None:
+            writer = writer.option("path", base_path + suffix)
+        writer.saveAsTable(base_name + suffix)
+
+
+def hits_on_tables(
+    spark, base_name: str, n_iters: int = 2, checkpoint_every: int = 5
+) -> DataFrame:
+    """HITS over the dual-bucketed layout (see write_edges_dual_bucketed):
+    the inflow step joins `{base_name}_src` BY src and the outflow step
+    joins `{base_name}_dst` BY dst — both scans are `Bucketed: true`, so
+    the edge side never exchanges; numerically identical to hits() on the
+    same graph (the iteration is integer-exact, so identical means
+    bit-for-bit, not just within rounding)."""
+    edges_src = spark.table(base_name + "_src")
+    edges_dst = spark.table(base_name + "_dst")
+    nodes = (
+        edges_src.select(F.col("src").alias("url"))
+        .unionByName(edges_src.select(F.col("dst").alias("url")))
+        .distinct()
+        .persist()
+    )
+    if nodes.count() == 0:
+        nodes.unpersist()
+        return spark.createDataFrame([], "url string, hub double, auth double")
+
+    st = IterationState(checkpoint_every)
+    inflow = outflow = None
+    for it in range(1, n_iters + 1):
+        if it == 1:
+            inflow = edges_dst.groupBy("dst").agg(
+                F.count("*").cast("double").alias("auth")
+            )
+        else:
+            inflow = iteration_inflow(edges_src, outflow)
+        if it == n_iters:
+            inflow = inflow.persist()  # see hits(): feeds two consumers
+        outflow = st.step(iteration_outflow(edges_dst, inflow), it)
+    state = st.finish(
+        nodes.join(outflow.withColumnRenamed("src", "url"), "url", "left")
+        .join(inflow.withColumnRenamed("dst", "url"), "url", "left")
+        .select(
+            "url",
+            F.coalesce(F.col("hub"), F.lit(0.0)).alias("hub"),
+            F.coalesce(F.col("auth"), F.lit(0.0)).alias("auth"),
+        )
+    )
+    inflow.unpersist()
+    nodes.unpersist()
+    return _normalize(state)
+
+
+def iteration_inflow(edges: DataFrame, outflow: DataFrame) -> DataFrame:
+    """ONE inflow step: edges ⋈ hub scores BY src, aggregated by dst.
+    Split out so plan audits can assert the join shape against the
+    src-bucketed layout without running a full hits()."""
+    return edges.join(outflow, "src").groupBy("dst").agg(F.sum("hub").alias("auth"))
+
+
+def iteration_outflow(edges: DataFrame, inflow: DataFrame) -> DataFrame:
+    """ONE outflow step: edges ⋈ auth scores BY dst, aggregated by src."""
+    return edges.join(inflow, "dst").groupBy("src").agg(F.sum("auth").alias("hub"))
+
+
+def _normalize(state: DataFrame) -> DataFrame:
+    """Max-normalize the final (url, hub, auth) state. One-row aggregate
+    over the checkpointed O(nodes) frame — control-plane sized, same
+    pattern as pagerank's nodes.count()."""
     hmax, amax = state.agg(F.max("hub"), F.max("auth")).collect()[0]
     return state.select(
         "url",

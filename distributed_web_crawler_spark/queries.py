@@ -153,6 +153,44 @@ def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return h.select("url", F.round("hub", 6).alias("hub"), F.round("auth", 6).alias("auth"))
 
 
+def q_hits_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS over the dual src/dst-BUCKETED edge layout — the 100-TB shape
+    where NEITHER per-iteration join moves the edge side (machine-asserted
+    in tests/test_hits_bucketed.py and PLANS.md). Same graph, same oracle
+    as `hits`: the integer-exact iteration means the layout must produce
+    bit-identical scores. Layout written once per sf_dir and cached like
+    pagerank_bucketed's; fresh sessions re-register the files as external
+    bucketed tables."""
+    import hashlib
+    import tempfile
+
+    from .operators.hits import hits_on_tables, write_edges_dual_bucketed
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    base = f"hits_edges_corr_{tag}"
+    path = os.path.join(tempfile.gettempdir(), f"hits_bucketed_{tag}")
+    if not all(
+        os.path.exists(path + sfx + "/_SUCCESS") for sfx in ("_src", "_dst")
+    ):
+        li = _t(spark, sf_dir, "lineitem")
+        edges = li.select(
+            F.concat(F.lit("o"), F.col("l_orderkey")).alias("src"),
+            F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"),
+        )
+        write_edges_dual_bucketed(edges, base, n_buckets=16, base_path=path)
+    else:
+        for sfx in ("_src", "_dst"):
+            key = sfx[1:]
+            if not spark.catalog.tableExists(base + sfx):
+                spark.sql(
+                    f"CREATE TABLE {base}{sfx} (src STRING, dst STRING) USING parquet "
+                    f"CLUSTERED BY ({key}) SORTED BY ({key}) INTO 16 BUCKETS "
+                    f"LOCATION '{path}{sfx}'"
+                )
+    h = hits_on_tables(spark, base, n_iters=HITS_ITERS)
+    return h.select("url", F.round("hub", 6).alias("hub"), F.round("auth", 6).alias("auth"))
+
+
 def q_frontier_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("cust_id")).distinct()
     seen = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 5000).select(
@@ -1167,6 +1205,8 @@ FROM h{n_iters} h JOIN a{n_iters} a ON a.url = h.url"""
 
 
 ORACLE_SQL["hits"] = _hits_oracle_sql(HITS_ITERS)
+# the dual-bucketed layout path must produce the identical scores
+ORACLE_SQL["hits_bucketed"] = ORACLE_SQL["hits"]
 
 def _ivf_dots_sql(vec_expr: str) -> str:
     """Per-centroid rounded dot products of a DOUBLE[] expression — the
@@ -1743,6 +1783,7 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "pagerank_bucketed": q_pagerank_bucketed,
         "hits": q_hits,
+        "hits_bucketed": q_hits_bucketed,
         "frontier_anti_join": q_frontier_anti_join,
         "depth_collect": q_depth_collect,
         "recovery_scan": q_recovery_scan,

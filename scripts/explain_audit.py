@@ -79,6 +79,7 @@ AUDITS = {
     # hits: the returned frame must be CHECKPOINTED state (same
     # IterationState discipline as pagerank)
     "hits": ["Scan ExistingRDD"],
+    "hits_bucketed": ["Scan ExistingRDD"],
     # k-means: scan pruned to (vec_id, embedding); assignment is the Arrow
     # kernel; the posexplode update partial-aggregates before its exchange
     "kmeans_clusters": [
@@ -114,8 +115,67 @@ FORBIDDEN = {
     "pagerank_bucketed": ["CartesianProduct", "BroadcastNestedLoopJoin"],
     "chunk_dedup": ["CartesianProduct", "BroadcastNestedLoopJoin"],
     "hits": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    "hits_bucketed": ["CartesianProduct", "BroadcastNestedLoopJoin"],
     "kmeans_clusters": ["CartesianProduct", "BroadcastNestedLoopJoin"],
 }
+
+
+def audit_hits_bucketed(spark, sections, failures):
+    """The HITS 100-TB layout claim: with the edges written twice —
+    bucketed+sorted by src and by dst — NEITHER per-iteration join has an
+    edge-side Exchange: the inflow step joins the src copy BY src, the
+    outflow step the dst copy BY dst; exactly two exchanges each (score
+    side + aggregate). Same treatment pagerank_bucketed_iteration got."""
+    import re
+
+    from distributed_web_crawler_spark.operators.hits import (
+        iteration_inflow,
+        iteration_outflow,
+        write_edges_dual_bucketed,
+    )
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    edges = li.select(
+        F.concat(F.lit("o"), F.col("l_orderkey")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"),
+    )
+    write_edges_dual_bucketed(
+        edges, "plan_audit_hits_edges", n_buckets=16, base_path="/tmp/plan_audit_hits_edges"
+    )
+    outflow = edges.select("src").distinct().select("src", F.lit(1.0).alias("hub")).localCheckpoint()
+    inflow = edges.select("dst").distinct().select("dst", F.lit(1.0).alias("auth")).localCheckpoint()
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+        plans = {
+            "inflow(src copy)": iteration_inflow(spark.table("plan_audit_hits_edges_src"), outflow),
+            "outflow(dst copy)": iteration_outflow(spark.table("plan_audit_hits_edges_dst"), inflow),
+        }
+        raws = {k: df._jdf.queryExecution().executedPlan().toString() for k, df in plans.items()}
+        dumps = {k: plan_of(df) for k, df in plans.items()}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "false")
+        spark.sql("DROP TABLE IF EXISTS plan_audit_hits_edges_src")
+        spark.sql("DROP TABLE IF EXISTS plan_audit_hits_edges_dst")
+    missing = []
+    for k, raw in raws.items():
+        if "Bucketed: true" not in raw:
+            missing.append(f"{k}: edge scan not bucketed")
+        n_ex = len(re.findall(r"Exchange hashpartitioning", raw))
+        if n_ex != 2:
+            missing.append(f"{k}: expected exactly 2 exchanges, saw {n_ex}")
+    if missing:
+        failures.append(("hits_bucketed_iteration", missing))
+    body = "\n".join(f"### {k}\n\n```\n{d.strip()}\n```\n" for k, d in dumps.items())
+    sections.append(
+        f"## hits_bucketed_iteration — {'OK' if not missing else 'MISSING ' + str(missing)}\n\n"
+        "Per-iteration inflow/outflow joins over the dual src/dst-bucketed edge\n"
+        "copies: no edge-side Exchange on either join; only score frames move.\n\n"
+        + body
+    )
 
 
 def audit_session_stats(spark, sections, failures):
@@ -244,6 +304,7 @@ def main():
     sections, failures = [], []
     audit_crawl_plans(spark, sections, failures)
     audit_pagerank_bucketed(spark, sections, failures)
+    audit_hits_bucketed(spark, sections, failures)
     audit_session_stats(spark, sections, failures)
     for name in sorted(qs):
         plan = plan_of(qs[name](spark, SF_DIR))
