@@ -21,6 +21,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+def fan_out_edges(edges: DataFrame) -> DataFrame:
+    """Round-robin an edge frame across the default parallelism before an
+    iterative op persists it: a small parquet input arrives as ONE split,
+    which would serialize every downstream probe/join onto one task. The
+    edge-frame sibling of dedup.fan_out (at 100 TB real files split by
+    maxPartitionBytes and this exchange is noise). Used by bfs, pagerank,
+    and hits — one copy of the policy."""
+    return edges.repartition(edges.sparkSession.sparkContext.defaultParallelism)
+
+
 def _local_checkpoint(df: DataFrame, tracked: list) -> DataFrame:
     """Eager localCheckpoint that CAPTURES the checkpoint's block-holding
     RDD handle into `tracked`. DataFrame.unpersist releases only the
@@ -116,10 +126,7 @@ def bfs(edges: DataFrame, seed: DataFrame, max_depth: int, checkpoint_every: int
     small) seen set, both broadcast-sized. A frontier too large to broadcast
     flips to the frontier-engine path (bucketed edges + shuffled hash join
     + Bloom seen filters, plans/frontier.py)."""
-    # round-robin first: a small parquet input arrives as ONE split, which
-    # would serialize every round's broadcast probe onto one task (at
-    # 100 TB real files split by maxPartitionBytes; this exchange is noise)
-    edges = edges.repartition(edges.sparkSession.sparkContext.defaultParallelism).persist()
+    edges = fan_out_edges(edges).persist()
     st = IterationState(checkpoint_every)
     seen = st.step(seed.select(F.col("url"), F.lit(0).alias("depth")), 1)
     frontier = seen

@@ -19,19 +19,23 @@ exact; one correctly-rounded division per row) and rounded to 6 dp.
 
 Scale shape (100 TB): each iteration joins the edge table twice — by src
 (auth inflow) and by dst (hub outflow) — so the at-scale layout is TWO
-bucketed copies of the edge table, one clustered by src and one by dst
-(the same one-time layout pagerank's write_edges_bucketed demonstrates;
-a real deployment derives both from one pass over the crawl log). Only
-the O(nodes) score frames move per iteration. Iteration state uses the
+bucketed copies of the edge table, one clustered by src and one by dst,
+written once by ``write_edges_dual_bucketed`` and consumed by
+``hits_on_tables`` with NO edge-side Exchange on either join
+(machine-asserted in tests/test_hits_bucketed.py and PLANS.md —
+the same demonstration pagerank's src-bucketed layout got). Only the
+O(nodes) score frames move per iteration. Iteration state uses the
 shared IterationState discipline (operators/bfs.py): O(1) cached
-generations at any iteration depth.
+generations at any iteration depth, and the returned frame is a raw
+checkpointed LogicalRDD so ``bfs.release_checkpoint`` can free it like a
+bfs()/pagerank() result.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from .bfs import IterationState
+from .bfs import IterationState, fan_out_edges
 
 
 def hits(edges: DataFrame, n_iters: int = 2, checkpoint_every: int = 5) -> DataFrame:
@@ -45,51 +49,16 @@ def hits(edges: DataFrame, n_iters: int = 2, checkpoint_every: int = 5) -> DataF
     downstream sum, so joining the full node set per step (the oracle's
     rendering) is algebraically redundant; nodes enter once, in the final
     projection. hub_0 ≡ 1 makes the first inflow the plain in-degree."""
-    spark = edges.sparkSession
-    # round-robin the edge scan: a small parquet input arrives as ONE
-    # split, serializing every downstream join (at 100 TB real files split
-    # by maxPartitionBytes and this exchange is noise)
-    edges = edges.repartition(spark.sparkContext.defaultParallelism).persist()
-    nodes = (
-        edges.select(F.col("src").alias("url"))
-        .unionByName(edges.select(F.col("dst").alias("url")))
-        .distinct()
-        .persist()
-    )
+    edges = fan_out_edges(edges).persist()
+    nodes = _node_set(edges).persist()
     if nodes.count() == 0:  # materializes both persisted frames
         edges.unpersist()
         nodes.unpersist()
-        return spark.createDataFrame([], "url string, hub double, auth double")
-
-    st = IterationState(checkpoint_every)
-    inflow = outflow = None
-    for it in range(1, n_iters + 1):
-        if it == 1:
-            inflow = edges.groupBy("dst").agg(F.count("*").cast("double").alias("auth"))
-        else:
-            inflow = iteration_inflow(edges, outflow)
-        if it == n_iters:
-            # the LAST inflow feeds BOTH the final outflow and the final
-            # projection — persist it so that fork does not recompute.
-            # Persisted manually (not st.track): a step-checkpoint at
-            # it == n_iters would release a tracked handle BEFORE the
-            # final projection reads it, forcing a full recompute chain.
-            # Interim inflows are consumed exactly once — no persist.
-            inflow = inflow.persist()
-        outflow = st.step(iteration_outflow(edges, inflow), it)
-    state = st.finish(
-        nodes.join(outflow.withColumnRenamed("src", "url"), "url", "left")
-        .join(inflow.withColumnRenamed("dst", "url"), "url", "left")
-        .select(
-            "url",
-            F.coalesce(F.col("hub"), F.lit(0.0)).alias("hub"),
-            F.coalesce(F.col("auth"), F.lit(0.0)).alias("auth"),
-        )
-    )  # finish() is eager — safe to release inputs below
-    inflow.unpersist()
+        return edges.sparkSession.createDataFrame([], "url string, hub double, auth double")
+    out = _iterate(nodes, edges, edges, n_iters, checkpoint_every)
     edges.unpersist()
     nodes.unpersist()
-    return _normalize(state)
+    return out
 
 
 def write_edges_dual_bucketed(
@@ -126,40 +95,13 @@ def hits_on_tables(
     bit-for-bit, not just within rounding)."""
     edges_src = spark.table(base_name + "_src")
     edges_dst = spark.table(base_name + "_dst")
-    nodes = (
-        edges_src.select(F.col("src").alias("url"))
-        .unionByName(edges_src.select(F.col("dst").alias("url")))
-        .distinct()
-        .persist()
-    )
+    nodes = _node_set(edges_src).persist()
     if nodes.count() == 0:
         nodes.unpersist()
         return spark.createDataFrame([], "url string, hub double, auth double")
-
-    st = IterationState(checkpoint_every)
-    inflow = outflow = None
-    for it in range(1, n_iters + 1):
-        if it == 1:
-            inflow = edges_dst.groupBy("dst").agg(
-                F.count("*").cast("double").alias("auth")
-            )
-        else:
-            inflow = iteration_inflow(edges_src, outflow)
-        if it == n_iters:
-            inflow = inflow.persist()  # see hits(): feeds two consumers
-        outflow = st.step(iteration_outflow(edges_dst, inflow), it)
-    state = st.finish(
-        nodes.join(outflow.withColumnRenamed("src", "url"), "url", "left")
-        .join(inflow.withColumnRenamed("dst", "url"), "url", "left")
-        .select(
-            "url",
-            F.coalesce(F.col("hub"), F.lit(0.0)).alias("hub"),
-            F.coalesce(F.col("auth"), F.lit(0.0)).alias("auth"),
-        )
-    )
-    inflow.unpersist()
+    out = _iterate(nodes, edges_src, edges_dst, n_iters, checkpoint_every)
     nodes.unpersist()
-    return _normalize(state)
+    return out
 
 
 def iteration_inflow(edges: DataFrame, outflow: DataFrame) -> DataFrame:
@@ -174,13 +116,67 @@ def iteration_outflow(edges: DataFrame, inflow: DataFrame) -> DataFrame:
     return edges.join(inflow, "dst").groupBy("src").agg(F.sum("auth").alias("hub"))
 
 
-def _normalize(state: DataFrame) -> DataFrame:
-    """Max-normalize the final (url, hub, auth) state. One-row aggregate
-    over the checkpointed O(nodes) frame — control-plane sized, same
-    pattern as pagerank's nodes.count()."""
-    hmax, amax = state.agg(F.max("hub"), F.max("auth")).collect()[0]
-    return state.select(
-        "url",
-        (F.col("hub") / F.lit(float(hmax) if hmax else 1.0)).alias("hub"),
-        (F.col("auth") / F.lit(float(amax) if amax else 1.0)).alias("auth"),
+def _node_set(edges: DataFrame) -> DataFrame:
+    return (
+        edges.select(F.col("src").alias("url"))
+        .unionByName(edges.select(F.col("dst").alias("url")))
+        .distinct()
     )
+
+
+def _iterate(
+    nodes: DataFrame,
+    edges_for_inflow: DataFrame,
+    edges_for_outflow: DataFrame,
+    n_iters: int,
+    checkpoint_every: int,
+) -> DataFrame:
+    """The ONE copy of the iteration loop + cache-lifetime rules, shared
+    by the flat and dual-bucketed paths (the hand-rolled-copies failure
+    class ROUND5 retired for bfs/pagerank applies here too)."""
+    st = IterationState(checkpoint_every)
+    inflow = outflow = None
+    for it in range(1, n_iters + 1):
+        if it == 1:
+            # hub_0 ≡ 1: the first inflow is the dst in-degree (with
+            # multiplicity); computed on the outflow copy so the groupBy
+            # key matches its bucketing when the layout provides it
+            inflow = edges_for_outflow.groupBy("dst").agg(
+                F.count("*").cast("double").alias("auth")
+            )
+        else:
+            inflow = iteration_inflow(edges_for_inflow, outflow)
+        if it == n_iters:
+            # the LAST inflow feeds BOTH the final outflow and the final
+            # projection — persist it so that fork does not recompute.
+            # Persisted manually (not st.track): a step-checkpoint at
+            # it == n_iters would release a tracked handle BEFORE the
+            # final projection reads it, forcing a full recompute chain.
+            # Interim inflows are consumed exactly once — no persist.
+            inflow = inflow.persist()
+        outflow = st.step(iteration_outflow(edges_for_outflow, inflow), it)
+    proj = (
+        nodes.join(outflow.withColumnRenamed("src", "url"), "url", "left")
+        .join(inflow.withColumnRenamed("dst", "url"), "url", "left")
+        .select(
+            "url",
+            F.coalesce(F.col("hub"), F.lit(0.0)).alias("hub"),
+            F.coalesce(F.col("auth"), F.lit(0.0)).alias("auth"),
+        )
+        .persist()
+    )
+    # one-row aggregate over the cached O(nodes) projection — control-plane
+    # sized, same pattern as pagerank's nodes.count(); normalizing BEFORE
+    # finish() keeps the returned frame a raw checkpointed LogicalRDD, so
+    # bfs.release_checkpoint can free it exactly like a pagerank result
+    hmax, amax = proj.agg(F.max("hub"), F.max("auth")).collect()[0]
+    out = st.finish(
+        proj.select(
+            "url",
+            (F.col("hub") / F.lit(float(hmax) if hmax else 1.0)).alias("hub"),
+            (F.col("auth") / F.lit(float(amax) if amax else 1.0)).alias("auth"),
+        )
+    )  # finish() is eager — safe to release inputs below
+    proj.unpersist()
+    inflow.unpersist()
+    return out

@@ -36,7 +36,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from .bfs import IterationState
+from .bfs import IterationState, fan_out_edges
 
 
 def pagerank(
@@ -49,10 +49,7 @@ def pagerank(
     contribute multiplicity, matching the SQL oracle). Returns
     (url string, rank double) for every node, rank UNROUNDED — callers
     compare/rank on a rounded projection."""
-    # round-robin first: a small parquet input arrives as ONE split, which
-    # would serialize the degree join and every iteration onto one task
-    # (at 100 TB real files split by maxPartitionBytes — exchange is noise)
-    edges = edges.repartition(edges.sparkSession.sparkContext.defaultParallelism).persist()
+    edges = fan_out_edges(edges).persist()
     nodes = (
         edges.select(F.col("src").alias("url"))
         .unionByName(edges.select(F.col("dst").alias("url")))

@@ -21,6 +21,18 @@ from typing import List, Sequence
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
+def _round6_half_away(x):
+    """6-dp HALF-AWAY-FROM-ZERO rounding of a numpy array — the rounding
+    mode of Spark's round() and DuckDB's round() (np.round is half-to-even,
+    which diverges on exact .5 ties at the 6th decimal, e.g. values that
+    are small dyadic rationals). Keeps every numpy kernel's tie behavior
+    aligned with both SQL engines; summation-association noise remains the
+    (measure-zero-at-6-dp) residual risk, as documented per kernel."""
+    import numpy as np
+
+    return np.copysign(np.floor(np.abs(x) * 1e6 + 0.5), x) / 1e6
+
+
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
@@ -166,7 +178,7 @@ def _bucket_restrict(embeddings: DataFrame, dim: int, n_planes: int, probe) -> D
             if not len(pdf):
                 continue
             E = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
-            buckets = (np.round(E @ pm, 6) > 0).astype(np.int64) @ weights
+            buckets = (_round6_half_away(E @ pm) > 0).astype(np.int64) @ weights
             keep = np.fromiter((int(b) in probe for b in buckets), bool, len(buckets))
             yield pdf[keep]
 
@@ -202,8 +214,8 @@ def write_bucket_partitioned(
                 continue
             E = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
             pdf = pdf.copy()
-            pdf["embedding"] = [list(map(float, r)) for r in E]
-            pdf["bucket"] = ((np.round(E @ pm, 6) > 0).astype(np.int64) @ weights).astype(np.int32)
+            pdf["embedding"] = E.tolist()
+            pdf["bucket"] = ((_round6_half_away(E @ pm) > 0).astype(np.int64) @ weights).astype(np.int32)
             yield pdf
 
     df = embeddings.select("vec_id", "embedding").mapInPandas(
@@ -264,7 +276,7 @@ def band_keys(embeddings: DataFrame, dim: int, n_bands: int, band_planes: int) -
             if not len(pdf):
                 continue
             E = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
-            bits = (np.round(E @ pm, 6) > 0).astype(np.int64)  # (n, P)
+            bits = (_round6_half_away(E @ pm) > 0).astype(np.int64)  # (n, P)
             keys = bits.reshape(len(E), n_bands, band_planes) @ weights  # (n, B)
             yield pd.DataFrame(
                 {
@@ -407,7 +419,7 @@ def ivf_topk(
             if not len(pdf):
                 continue
             E = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
-            dots = np.round(E @ cm, 6)  # 6-dp rounding: argmax parity across engines
+            dots = _round6_half_away(E @ cm)  # tie mode aligned with SQL round()
             cells = dots.argmax(axis=1)
             keep = np.fromiter((int(c) in probe for c in cells), bool, len(cells))
             yield pdf[keep]
@@ -439,8 +451,8 @@ def write_cell_partitioned(
                 continue
             E = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
             pdf = pdf.copy()
-            pdf["embedding"] = [list(map(float, r)) for r in E]
-            pdf["cell"] = np.round(E @ cm, 6).argmax(axis=1).astype(np.int32)
+            pdf["embedding"] = E.tolist()
+            pdf["cell"] = _round6_half_away(E @ cm).argmax(axis=1).astype(np.int32)
             yield pdf
 
     df = embeddings.select("vec_id", "embedding").mapInPandas(
@@ -486,9 +498,12 @@ def label_centroid_norms(embeddings: DataFrame) -> DataFrame:
 def _kmeans_assign(embeddings: DataFrame, cents: List[List[float]]) -> DataFrame:
     """(vec_id, embedding DOUBLE[], cell) under squared-Euclidean argmin:
     argmin |x-c|² = argmax(x·c − |c|²/2). Scores are rounded to 6 dp
-    before the argmax and ties break to the LOWEST cell id (numpy argmax
-    first-max == the oracle's ORDER BY score DESC, cell ASC), so the
-    assignment is bit-identical across engines. One BLAS matmul per Arrow
+    (HALF-AWAY, matching SQL round — see _round6_half_away) before the
+    argmax and ties break to the LOWEST cell id (numpy argmax first-max ==
+    the oracle's ORDER BY score DESC, cell ASC). Residual cross-engine
+    risk is only summation-association noise (~1e-15) landing exactly on
+    a rounding boundary — measure-zero on continuous data, the same
+    accepted margin as the ivf/ann kernels. One BLAS matmul per Arrow
     batch — the same kernel discipline as ivf_topk/cosine_scores (Spark's
     higher-order array functions evaluate interpreted per element)."""
     import numpy as np
@@ -502,8 +517,8 @@ def _kmeans_assign(embeddings: DataFrame, cents: List[List[float]]) -> DataFrame
                 continue
             E = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
             out = pdf[["vec_id"]].copy()
-            out["embedding"] = [list(map(float, r)) for r in E]
-            out["cell"] = np.round(E @ cm.T - half_sq, 6).argmax(axis=1).astype(np.int32)
+            out["embedding"] = E.tolist()
+            out["cell"] = _round6_half_away(E @ cm.T - half_sq).argmax(axis=1).astype(np.int32)
             yield out
 
     return embeddings.select("vec_id", "embedding").mapInPandas(
@@ -548,8 +563,9 @@ def kmeans_fit(
     a double, but agree on integer rounding) and re-enter the next round
     as micro/1e6, a correctly-rounded division both engines compute
     bit-identically — so cross-engine float-association noise cannot
-    compound across rounds; assignment scores round to 6 dp before the
-    argmax. Empty cells keep their previous centroid with n=0 (both sides
+    compound across rounds; assignment scores round to 6 dp (half-away)
+    before the argmax, leaving association-on-a-boundary as the only
+    (measure-zero) divergence. Empty cells keep their previous centroid with n=0 (both sides
     coalesce against the incoming codebook).
 
     Returns (cell int, n long, centroid array<double> — per-dim means of

@@ -143,9 +143,12 @@ def audit_hits_bucketed(spark, sections, failures):
     write_edges_dual_bucketed(
         edges, "plan_audit_hits_edges", n_buckets=16, base_path="/tmp/plan_audit_hits_edges"
     )
+    from distributed_web_crawler_spark.operators.bfs import release_checkpoint
+
     outflow = edges.select("src").distinct().select("src", F.lit(1.0).alias("hub")).localCheckpoint()
     inflow = edges.select("dst").distinct().select("dst", F.lit(1.0).alias("auth")).localCheckpoint()
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_ord = spark.conf.get("spark.sql.legacy.bucketedTableScan.outputOrdering", "false")
     try:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
@@ -157,9 +160,11 @@ def audit_hits_bucketed(spark, sections, failures):
         dumps = {k: plan_of(df) for k, df in plans.items()}
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
-        spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "false")
+        spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", old_ord)
         spark.sql("DROP TABLE IF EXISTS plan_audit_hits_edges_src")
         spark.sql("DROP TABLE IF EXISTS plan_audit_hits_edges_dst")
+        release_checkpoint(outflow)
+        release_checkpoint(inflow)
     missing = []
     for k, raw in raws.items():
         if "Bucketed: true" not in raw:
@@ -270,6 +275,7 @@ def audit_pagerank_bucketed(spark, sections, failures):
         .localCheckpoint()
     )
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_ord = spark.conf.get("spark.sql.legacy.bucketedTableScan.outputOrdering", "false")
     try:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
@@ -278,7 +284,7 @@ def audit_pagerank_bucketed(spark, sections, failures):
         raw = df._jdf.queryExecution().executedPlan().toString()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
-        spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "false")
+        spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", old_ord)
         spark.sql("DROP TABLE IF EXISTS plan_audit_pr_edges")
     missing = []
     if "Bucketed: true" not in raw:

@@ -38,6 +38,7 @@ def test_dual_bucketed_iteration_has_no_edge_side_exchange(spark, tmp_path):
         [(f"m{i}", float(i + 1)) for i in range(40)], "dst string, auth double"
     )
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_ord = spark.conf.get("spark.sql.legacy.bucketedTableScan.outputOrdering", "false")
     try:
         # force the at-scale strategy (both sides big -> sort-merge); a
         # broadcast would make the no-shuffle claim vacuous
@@ -49,7 +50,7 @@ def test_dual_bucketed_iteration_has_no_edge_side_exchange(spark, tmp_path):
         out_flat = _plan(iteration_outflow(edges, inflow))
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
-        spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "false")
+        spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", old_ord)
         spark.sql("DROP TABLE IF EXISTS hits_plan_src")
         spark.sql("DROP TABLE IF EXISTS hits_plan_dst")
 

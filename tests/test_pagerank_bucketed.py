@@ -35,6 +35,7 @@ def test_bucketed_iteration_has_no_edge_side_exchange(spark, tmp_path):
         [(f"n{i}", 1.0 / 40) for i in range(40)], "url string, rank double"
     )
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_ord = spark.conf.get("spark.sql.legacy.bucketedTableScan.outputOrdering", "false")
     try:
         # force the at-scale join strategy (both sides big -> sort-merge);
         # a broadcast would make the no-shuffle claim trivially vacuous.
@@ -46,7 +47,7 @@ def test_bucketed_iteration_has_no_edge_side_exchange(spark, tmp_path):
         flat = _plan(iteration_contribs(contrib_edges_of(edges), ranks))
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
-        spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "false")
+        spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", old_ord)
         spark.sql("DROP TABLE IF EXISTS pr_edges_plan")
 
     # the scan itself advertises the bucketing
