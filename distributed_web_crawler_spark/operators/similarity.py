@@ -571,28 +571,7 @@ def kmeans_fit(
     Returns (cell int, n long, centroid array<double> — per-dim means of
     the FINAL assignment, 6 dp)."""
     spark = embeddings.sparkSession
-    cents = [list(map(float, c)) for c in ivf_centroids(dim, n_centroids)]
-    stats = None
-    for t in range(n_iters):
-        assigned = _kmeans_assign(embeddings, cents)
-        stats = (
-            assigned.select("cell", F.posexplode("embedding").alias("dim", "v"))
-            .groupBy("cell", "dim")
-            .agg(
-                F.round(F.avg("v") * 1e6).cast("long").alias("cvu"),
-                F.count("*").alias("n"),
-            )
-        )
-        if t == n_iters - 1:
-            break  # the final update is returned declaratively below
-        rows = stats.collect()  # n_centroids × dim rows — the codebook
-        by_cell: dict = {}
-        for r in rows:
-            by_cell.setdefault(r["cell"], list(cents[r["cell"]]))[r["dim"]] = (
-                r["cvu"] / 1e6
-            )
-        cents = [by_cell.get(c, cents[c]) for c in range(n_centroids)]
-    last = cents  # codebook that produced the final assignment
+    stats, last = _kmeans_stats(embeddings, dim, n_centroids, n_iters)
     res = stats.groupBy("cell").agg(
         F.max("n").alias("n"),
         F.transform(
@@ -608,3 +587,83 @@ def kmeans_fit(
         F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
         F.coalesce(F.col("centroid"), F.col("prev")).alias("centroid"),
     )
+
+
+def kmeans_fit_flat(
+    embeddings: DataFrame,
+    dim: int,
+    n_centroids: int = 16,
+    n_iters: int = 2,
+) -> DataFrame:
+    """kmeans_fit with the codebook flattened to SCALAR rows
+    (cell int, n long, dim int, c_micro long) — one row per centroid
+    coordinate in exact integer micro-units. This is the cross-engine
+    exchange format: the r6 driver canonicalizer cannot sort an
+    array<double> cell (pandas sort_values → unhashable list), and micro
+    ints sidestep float-printing entirely. n_centroids×dim rows — still
+    control-plane sized at any corpus scale."""
+    spark = embeddings.sparkSession
+    stats, last = _kmeans_stats(embeddings, dim, n_centroids, n_iters)
+    # exact micro-units of the final codebook input for empty-cell
+    # fallback: entries are either cvu/1e6 or the initial m/1e6 - 1.0,
+    # both within << 0.5 micro of an integer, so round() recovers it
+    codebook = spark.createDataFrame(
+        [
+            (c, d, int(round(last[c][d] * 1e6)))
+            for c in range(n_centroids)
+            for d in range(dim)
+        ],
+        "cell int, dim int, prev_micro long",
+    )
+    return codebook.join(stats, ["cell", "dim"], "left").select(
+        "cell",
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+        "dim",
+        F.coalesce(F.col("cvu"), F.col("prev_micro")).cast("long").alias("c_micro"),
+    )
+
+
+def _kmeans_stats(embeddings, dim, n_centroids, n_iters):
+    """Shared Lloyd loop: returns (final per-(cell,dim) stats DF with
+    columns cell/dim/cvu/n, final input codebook as python floats).
+
+    Iteration discipline (operators/bfs.py IterationState): per-round
+    lineage is flat by construction — the codebook is a collected
+    driver-side list, so each round is scan → assign → agg, never a
+    growing chain — but at n_iters > 1 the input would be re-read from
+    parquet every round; persist the projected input across rounds and
+    release it on exit (MLlib KMeans caches its input the same way)."""
+    if n_iters < 1:
+        raise ValueError(f"kmeans requires n_iters >= 1, got {n_iters}")
+    cents = [list(map(float, c)) for c in ivf_centroids(dim, n_centroids)]
+    inp = embeddings.select("vec_id", "embedding")
+    if n_iters > 1:
+        inp = inp.persist()
+    stats = None
+    try:
+        for t in range(n_iters):
+            assigned = _kmeans_assign(inp, cents)
+            stats = (
+                assigned.select("cell", F.posexplode("embedding").alias("dim", "v"))
+                .groupBy("cell", "dim")
+                .agg(
+                    F.round(F.avg("v") * 1e6).cast("long").alias("cvu"),
+                    F.count("*").alias("n"),
+                )
+            )
+            if t == n_iters - 1:
+                # localCheckpoint (eager) so the returned frame neither
+                # recomputes the final pass nor pins the input cache
+                stats = stats.localCheckpoint()
+                break
+            rows = stats.collect()  # n_centroids × dim rows — the codebook
+            by_cell: dict = {}
+            for r in rows:
+                by_cell.setdefault(r["cell"], list(cents[r["cell"]]))[r["dim"]] = (
+                    r["cvu"] / 1e6
+                )
+            cents = [by_cell.get(c, cents[c]) for c in range(n_centroids)]
+    finally:
+        if n_iters > 1:
+            inp.unpersist(False)
+    return stats, cents  # cents = codebook that produced the final assignment

@@ -461,9 +461,15 @@ def q_kmeans_clusters(spark, sf_dir):
     the codebook trainer whose output slots into ivf_assign /
     write_cell_partitioned. Assignment is a BLAS matmul per Arrow batch;
     the update is a posexplode partial agg; the oracle replays both
-    rounds as chained CTEs over the inlined md5 init codebook."""
+    rounds as chained CTEs over the inlined md5 init codebook. The
+    exchange format is the FLAT (cell, n, dim, c_micro) codebook —
+    scalar integer micro-units, one row per coordinate — because the
+    driver's canonicalizer cannot sort array<double> cells
+    (CORRECTNESS_r06 red row: unhashable list in sort_values)."""
     emb = _t(spark, sf_dir, "embeddings")
-    return S.kmeans_fit(emb, EMB_DIM, n_centroids=N_CENTROIDS, n_iters=KMEANS_ITERS)
+    return S.kmeans_fit_flat(
+        emb, EMB_DIM, n_centroids=N_CENTROIDS, n_iters=KMEANS_ITERS
+    )
 
 
 EMB_DIM = 64
@@ -1011,9 +1017,12 @@ WITH toks AS (
   SELECT doc_id, CAST(len({_TOKS}) AS INT) AS n_tokens FROM documents
 ),
 pre AS (
+  -- CAST: DuckDB's window sum(BIGINT) returns HUGEINT, which pandas
+  -- materializes as float64 — the driver's dtype-sensitive hash then
+  -- sees 123.0 vs Spark's 123 (CORRECTNESS_r06 red row)
   SELECT doc_id, n_tokens,
-         coalesce(sum(CAST(n_tokens AS BIGINT))
-                  OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_start
+         CAST(coalesce(sum(CAST(n_tokens AS BIGINT))
+                  OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_start
   FROM toks
 )
 SELECT doc_id, n_tokens, tok_start,
@@ -1478,13 +1487,21 @@ c{r} AS (
   ) l ON l.cell = c{r - 1}.cell
 )"""
     last_c, last_u = KMEANS_ITERS - 1, KMEANS_ITERS
-    return sql + f"""
-SELECT c{last_c}.cell, CAST(coalesce(l.n, 0) AS BIGINT) AS n,
-       coalesce(l.cen, c{last_c}.cen) AS centroid
-FROM c{last_c} LEFT JOIN (
-  SELECT cell, max(n) AS n, list(CAST(cvu AS DOUBLE) / 1000000.0 ORDER BY dim) AS cen
-  FROM u{last_u} GROUP BY cell
-) l ON l.cell = c{last_c}.cell"""
+    # flat scalar projection (cell, n, dim, c_micro): unnest the final
+    # input codebook for empty-cell fallback — its entries are cvu/1e6 or
+    # the initial m/1e6 - 1.0, both within << 0.5 micro of an integer, so
+    # round(pv * 1e6) recovers the exact micro-unit
+    return sql + f""",
+p AS (
+  SELECT cell, unnest(cen) AS pv, unnest(range(1, {EMB_DIM} + 1)) AS i FROM c{last_c}
+),
+nn AS (SELECT cell, max(n) AS n FROM u{last_u} GROUP BY cell)
+SELECT p.cell, CAST(coalesce(nn.n, 0) AS BIGINT) AS n,
+       CAST(p.i - 1 AS INT) AS dim,
+       CAST(coalesce(u.cvu, round(p.pv * 1000000)) AS BIGINT) AS c_micro
+FROM p
+LEFT JOIN u{last_u} u ON u.cell = p.cell AND u.dim = p.i - 1
+LEFT JOIN nn ON nn.cell = p.cell"""
 
 
 _LAZY_ORACLE_BUILDERS: Dict[str, Callable[[], str]] = {
