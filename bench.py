@@ -36,7 +36,7 @@ CACHE_DIR = os.environ.get("BENCH_CACHE_DIR", "/root/repo/.bench_cache")
 
 
 def bench_queries(spark):
-    from distributed_web_crawler_spark.queries import queries
+    from distributed_web_crawler_spark.queries import bench_queries as queries
 
     # warm the Python workers once (executor-bootstrap cost, not query
     # work — the crawl bench applies the same warm-up): the first pandas

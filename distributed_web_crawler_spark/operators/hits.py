@@ -134,6 +134,10 @@ def _iterate(
     """The ONE copy of the iteration loop + cache-lifetime rules, shared
     by the flat and dual-bucketed paths (the hand-rolled-copies failure
     class ROUND5 retired for bfs/pagerank applies here too)."""
+    if n_iters < 1:
+        # inflow/outflow would stay None and crash the final projection
+        # with a bare AttributeError; fail with the actual contract
+        raise ValueError(f"hits requires n_iters >= 1, got {n_iters}")
     st = IterationState(checkpoint_every)
     inflow = outflow = None
     for it in range(1, n_iters + 1):

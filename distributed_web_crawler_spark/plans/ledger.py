@@ -91,9 +91,12 @@ class _PandasTable:
         self.cols = cols
         self.key = key if key is not None else next(iter(cols))
         # folded snapshot memo: steady-state reads fold only the versions
-        # committed since the last read instead of rebuilding from parquet
-        self._memo_v: Optional[int] = None
-        self._memo_df: Optional[pd.DataFrame] = None
+        # committed since the last read instead of rebuilding from parquet.
+        # ONE tuple attribute (v, df), read/written atomically: paired
+        # fields could be observed torn (fresh v, stale df) under
+        # in-process threading, and the class advertises cross-process AND
+        # cross-thread safety
+        self._memo: Optional[tuple] = None
 
     def _empty(self) -> pd.DataFrame:
         return pd.DataFrame({c: pd.Series(dtype=t) for c, t in self.cols.items()})
@@ -109,9 +112,10 @@ class _PandasTable:
         deltas in (memo_v, v]; a full snapshot in that range resets the fold."""
         if v is None:
             return self._empty()
-        if self._memo_v is not None and v >= self._memo_v:
-            df = self._memo_df
-            for vv in range(self._memo_v + 1, v + 1):
+        memo = self._memo  # atomic snapshot of the (v, df) pair
+        if memo is not None and v >= memo[0]:
+            df = memo[1]
+            for vv in range(memo[0] + 1, v + 1):
                 meta = version_delta_meta(self.table, vv)
                 path = self.table.path_of(vv)
                 if meta is None:
@@ -119,10 +123,10 @@ class _PandasTable:
                 else:
                     ups = pq.read_table(path + "/delta.parquet").to_pandas()
                     df = fold_delta(df, ups, meta["deletes"], meta["key"])
-            self._memo_v, self._memo_df = v, df
+            self._memo = (v, df)
             return df.copy()
         df = self._read_at(v)
-        self._memo_v, self._memo_df = v, df
+        self._memo = (v, df)
         return df.copy()
 
     def read(self) -> pd.DataFrame:
@@ -133,7 +137,7 @@ class _PandasTable:
             except FileNotFoundError as e:
                 # a concurrent compact() severed the chain mid-walk; the
                 # materialized snapshot is already in place — re-resolve
-                self._memo_v = None
+                self._memo = None
                 last_err = e
         raise last_err
 
@@ -173,7 +177,7 @@ class _PandasTable:
         snapshot."""
         while not self.table.publish(self._stage(df)):
             pass
-        self._memo_v = None  # blind write: version unknown, drop the memo
+        self._memo = None  # blind write: version unknown, drop the memo
 
     def mutate(self, fn):
         """Optimistic read-modify-write. `fn(df) -> (Delta | new_df | None,
@@ -192,7 +196,7 @@ class _PandasTable:
             except FileNotFoundError:
                 # a concurrent compact() swept a version between the pointer
                 # read and the chain walk — re-resolve the current version
-                self._memo_v = None
+                self._memo = None
                 continue
             out, result = fn(df)
             if out is None:
@@ -207,7 +211,7 @@ class _PandasTable:
                 folded = out
                 path = self._stage(out)
             if self.table.publish(path, expected_version=v0):
-                self._memo_v, self._memo_df = (v0 or 0) + 1, folded
+                self._memo = ((v0 or 0) + 1, folded)
                 return result
 
 
@@ -357,12 +361,18 @@ class JobCache:
                 return None, False
             # stale/shallower rows of this seed are subsumed by the upsert;
             # eviction victims (expired purge + LFU overflow) become keyed
-            # deletes — the delta is O(1 + victims), not O(table)
-            base = df[df["seed_url"] != seed_url]
-            folded = pd.concat([base, pd.DataFrame([row])], ignore_index=True)
+            # deletes — the delta is O(1 + victims), not O(table).
+            # _evict must see EXACTLY the frame the commit will produce:
+            # fold_delta updates existing keys in place, so a concat-built
+            # frame (upsert appended last) can order (hits, expires_at)
+            # ties differently and pick different LFU victims.
+            ups = pd.DataFrame([row])
+            folded = fold_delta(df, ups, [], "seed_url")
             kept = set(self._evict(folded, seed_url, now)["seed_url"])
-            dels = sorted(k for k in base["seed_url"] if k not in kept)
-            return Delta(ups=pd.DataFrame([row]), dels=dels), True
+            dels = sorted(
+                k for k in df["seed_url"] if k != seed_url and k not in kept
+            )
+            return Delta(ups=ups, dels=dels), True
 
         return self._t.mutate(fn)
 

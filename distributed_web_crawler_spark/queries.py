@@ -99,31 +99,42 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select("url", F.round("rank", 6).alias("rank"))
 
 
+_STAGE_SEQ = iter(range(1, 1 << 30))
+
+
 def q_pagerank_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the src-BUCKETED contribution-edge layout — the
     100-TB shape whose per-iteration join has no edge-side Exchange
     (machine-asserted in tests/test_pagerank_bucketed.py and PLANS.md).
     Same graph, same oracle as `pagerank`: the layout must not change a
     single value. The layout is written ONCE per sf_dir (a one-time
-    layout job at 100 TB) and cached under the tempdir like the ANN
-    bucketed layout; a fresh session re-registers the existing files as
-    an external bucketed table with the same CLUSTERED/SORTED spec
-    instead of rewriting them."""
-    import hashlib
-    import tempfile
-
+    layout job at 100 TB) through _ensure_layout — content-fingerprinted
+    (a regenerated sf_dir rebuilds) and published by atomic rename
+    (concurrent builders can't interleave) — then registered as an
+    external bucketed table with the same CLUSTERED/SORTED spec; the
+    table name carries the content tag so stale registrations of
+    replaced data are never reused."""
     from .operators.pagerank import pagerank_on_table, write_edges_bucketed
 
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
-    name = f"pr_edges_corr_{tag}"
-    path = os.path.join(tempfile.gettempdir(), f"pr_bucketed_{tag}")
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+    def build(staging):
+        # saveAsTable needs a catalog name; write under a throwaway one
+        # bound to the staging path, then drop it (external — files stay)
+        stage_name = f"pr_edges_stage_{os.getpid()}_{next(_STAGE_SEQ)}"
         edges = _order_part_edges(_t(spark, sf_dir, "lineitem"))
-        write_edges_bucketed(edges, name, n_buckets=16, path=path)
-    elif not spark.catalog.tableExists(name):
+        write_edges_bucketed(
+            edges, stage_name, n_buckets=16, path=os.path.join(staging, "e")
+        )
+        spark.sql(f"DROP TABLE IF EXISTS {stage_name}")
+        open(os.path.join(staging, "_SUCCESS"), "w").close()
+
+    path = _ensure_layout(spark, sf_dir, "pr_bucketed", build, src_table="lineitem")
+    tag = os.path.basename(path).rsplit("_", 1)[-1]
+    name = f"pr_edges_{tag}"
+    if not spark.catalog.tableExists(name):
         spark.sql(
             f"CREATE TABLE {name} (src STRING, dst STRING, w DOUBLE) USING parquet "
-            f"CLUSTERED BY (src) SORTED BY (src) INTO 16 BUCKETS LOCATION '{path}'"
+            f"CLUSTERED BY (src) SORTED BY (src) INTO 16 BUCKETS "
+            f"LOCATION '{os.path.join(path, 'e')}'"
         )
     pr = pagerank_on_table(spark, name, n_iters=PAGERANK_ITERS, damping=PAGERANK_D)
     return pr.select("url", F.round("rank", 6).alias("rank"))
@@ -159,36 +170,73 @@ def q_hits_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     in tests/test_hits_bucketed.py and PLANS.md). Same graph, same oracle
     as `hits`: the integer-exact iteration means the layout must produce
     bit-identical scores. Layout written once per sf_dir and cached like
-    pagerank_bucketed's; fresh sessions re-register the files as external
-    bucketed tables."""
-    import hashlib
-    import tempfile
-
+    pagerank_bucketed's (content-fingerprinted _ensure_layout with atomic
+    publish); fresh sessions re-register the files as external bucketed
+    tables under the content-tagged name."""
     from .operators.hits import hits_on_tables, write_edges_dual_bucketed
 
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
-    base = f"hits_edges_corr_{tag}"
-    path = os.path.join(tempfile.gettempdir(), f"hits_bucketed_{tag}")
-    if not all(
-        os.path.exists(path + sfx + "/_SUCCESS") for sfx in ("_src", "_dst")
-    ):
+    def build(staging):
+        stage_name = f"hits_edges_stage_{os.getpid()}_{next(_STAGE_SEQ)}"
         li = _t(spark, sf_dir, "lineitem")
         edges = li.select(
             F.concat(F.lit("o"), F.col("l_orderkey")).alias("src"),
             F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"),
         )
-        write_edges_dual_bucketed(edges, base, n_buckets=16, base_path=path)
-    else:
+        write_edges_dual_bucketed(
+            edges, stage_name, n_buckets=16, base_path=os.path.join(staging, "e")
+        )
         for sfx in ("_src", "_dst"):
-            key = sfx[1:]
-            if not spark.catalog.tableExists(base + sfx):
-                spark.sql(
-                    f"CREATE TABLE {base}{sfx} (src STRING, dst STRING) USING parquet "
-                    f"CLUSTERED BY ({key}) SORTED BY ({key}) INTO 16 BUCKETS "
-                    f"LOCATION '{path}{sfx}'"
-                )
+            spark.sql(f"DROP TABLE IF EXISTS {stage_name}{sfx}")
+        open(os.path.join(staging, "_SUCCESS"), "w").close()
+
+    path = _ensure_layout(spark, sf_dir, "hits_bucketed", build, src_table="lineitem")
+    tag = os.path.basename(path).rsplit("_", 1)[-1]
+    base = f"hits_edges_{tag}"
+    for sfx in ("_src", "_dst"):
+        key = sfx[1:]
+        if not spark.catalog.tableExists(base + sfx):
+            spark.sql(
+                f"CREATE TABLE {base}{sfx} (src STRING, dst STRING) USING parquet "
+                f"CLUSTERED BY ({key}) SORTED BY ({key}) INTO 16 BUCKETS "
+                f"LOCATION '{os.path.join(path, 'e')}{sfx}'"
+            )
     h = hits_on_tables(spark, base, n_iters=HITS_ITERS)
     return h.select("url", F.round("hub", 6).alias("hub"), F.round("auth", 6).alias("auth"))
+
+
+def _layout_union(variants) -> Callable[[SparkSession, str], DataFrame]:
+    """Merge physical-layout variants of one query into a single
+    correctness row: each variant must return IDENTICAL rows by design
+    (same oracle), so the union tagged by a `layout` column asserts
+    flat == bucketed/partitioned == oracle in one hash. Exists because
+    the driver checks at most 50 queries() rows — the variants stay
+    individually timed in bench_queries() and individually plan-asserted
+    in tests/test_plans.py + scripts/explain_audit.py."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        out = None
+        for label, fn in variants:
+            df = fn(spark, sf_dir).withColumn("layout", F.lit(label))
+            out = df if out is None else out.unionByName(df)
+        return out
+
+    return run
+
+
+def _layout_union_oracle(base_sql: str, labels) -> str:
+    """Cross-join the single-layout oracle with the layout labels —
+    DuckDB allows a WITH-clause query as a FROM subquery."""
+    values = ", ".join(f"('{lb}')" for lb in labels)
+    return (
+        f"SELECT b.*, l.layout FROM (\n{base_sql}\n) b "
+        f"CROSS JOIN (VALUES {values}) l(layout)"
+    )
+
+
+q_pagerank_layouts = _layout_union(
+    [("flat", q_pagerank), ("bucketed", q_pagerank_bucketed)]
+)
+q_hits_layouts = _layout_union([("flat", q_hits), ("bucketed", q_hits_bucketed)])
 
 
 def q_frontier_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -484,21 +532,21 @@ def q_ann_topk(spark, sf_dir):
     return S.ann_topk(emb, _query_vec(spark, sf_dir), EMB_DIM, k=10, n_planes=N_PLANES, n_flip=N_FLIP)
 
 
-def _ensure_layout(spark, sf_dir: str, name: str, build) -> str:
-    """Materialize a derived vector-table layout once per sf_dir into a
-    temp cache (the one-time rewrite_data_files analog) and return its
-    path. Cache key = source identity + CONTENT fingerprint (mtime+size):
-    a regenerated sf_dir at the same path must rebuild, not silently
-    score against the old layout. Build into a unique staging dir and
-    publish by atomic rename so concurrent processes never overwrite each
-    other (loser discards its staging)."""
+def _ensure_layout(spark, sf_dir: str, name: str, build, src_table: str = "embeddings") -> str:
+    """Materialize a derived table layout once per sf_dir into a temp
+    cache (the one-time rewrite_data_files analog) and return its path.
+    Cache key = source identity + CONTENT fingerprint (mtime+size): a
+    regenerated sf_dir at the same path must rebuild, not silently score
+    against the old layout. Build into a unique staging dir and publish
+    by atomic rename so concurrent processes never overwrite each other
+    (loser discards its staging)."""
     import glob
     import hashlib
     import shutil
     import tempfile
     import time
 
-    src = os.path.join(sf_dir, "embeddings.parquet")
+    src = os.path.join(sf_dir, f"{src_table}.parquet")
     st = os.stat(src)
     tag = hashlib.md5(
         f"{os.path.abspath(src)}:{st.st_mtime_ns}:{st.st_size}".encode()
@@ -601,6 +649,14 @@ def q_ivf_topk(spark, sf_dir):
     )
 
 
+q_ann_topk_layouts = _layout_union(
+    [("flat", q_ann_topk), ("partitioned", q_ann_topk_partitioned)]
+)
+q_ivf_topk_layouts = _layout_union(
+    [("flat", q_ivf_topk), ("partitioned", q_ivf_topk_partitioned)]
+)
+
+
 def q_salted_host_agg(spark, sf_dir):
     from .operators.skew import salted_host_counts
 
@@ -619,6 +675,47 @@ def q_clean_corpus_stats(spark, sf_dir):
         F.count("*").alias("n_docs"),
         F.round(F.avg("n_tokens"), 3).alias("avg_tokens"),
         F.sum(F.col("n_chars")).cast("long").alias("total_chars"),
+    )
+
+
+def q_anchor_text_index(spark, sf_dir):
+    """Anchor-text index build — the classic crawl post-processing op
+    (anchor words of incoming links describe the TARGET page; search
+    rankers index them next to pagerank): over the o→p link graph, per
+    target URL collect the lexicographically-first 5 distinct anchor
+    tokens (words of l_comment, lowercased, ≥3 letters) and the count of
+    distinct linking pages that contributed ≥1 qualifying token.
+
+    The fixture's anchor text is the target's p_name words (the testdata
+    carries no per-link text column) — the OPERATOR shape is the point:
+    per-target distinct-token aggregation across incoming links.
+
+    100-TB shape: the anchor-source dimension broadcasts (part is the
+    small side of the o→p link fact), tokens are produced JVM-side
+    (split + array_distinct + explode Generate — no Python), and both
+    aggregates ride ONE dst-keyed shuffle with map-side partial
+    aggregation (collect_set merges partially; anchor vocabularies per
+    URL are bounded in practice). The top-5 render is a comma-joined
+    STRING, not an array — arrays can't cross the driver's pandas
+    canonicalizer (the kmeans r6 lesson)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_orderkey")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_name")
+    toks = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select(
+            F.concat(F.lit("p"), F.col("l_partkey")).alias("url"),
+            F.col("l_orderkey").alias("src_page"),
+            F.explode(
+                F.array_distinct(F.split(F.lower(F.col("p_name")), "[^a-z]+"))
+            ).alias("token"),
+        )
+        .filter(F.length("token") >= 3)
+    )
+    return toks.groupBy("url").agg(
+        F.countDistinct("src_page").cast("long").alias("n_link_pages"),
+        F.array_join(
+            F.slice(F.sort_array(F.collect_set("token")), 1, 5), ","
+        ).alias("top_tokens"),
     )
 
 
@@ -1258,6 +1355,24 @@ SELECT rank, vec_id, sim_bucket FROM ranked WHERE rank <= 10"""
 # the cell-partitioned layout path must produce identical results
 ORACLE_SQL["ivf_topk_partitioned"] = ORACLE_SQL["ivf_topk"]
 
+ORACLE_SQL["anchor_text_index"] = """
+WITH tok AS (
+  SELECT concat('p', l.l_partkey) AS url, l.l_orderkey AS src_page,
+         unnest(list_distinct(string_split_regex(lower(p.p_name), '[^a-z]+'))) AS token
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+)
+SELECT url, CAST(count(DISTINCT src_page) AS BIGINT) AS n_link_pages,
+       array_to_string(list_sort(list_distinct(list(token)))[1:5], ',') AS top_tokens
+FROM tok WHERE length(token) >= 3 GROUP BY url"""
+
+# merged layout-union oracles: every physical layout must reproduce the
+# single-layout oracle exactly (see _layout_union)
+ORACLE_SQL["pagerank"] = _layout_union_oracle(ORACLE_SQL["pagerank"], ["flat", "bucketed"])
+ORACLE_SQL["hits"] = _layout_union_oracle(ORACLE_SQL["hits"], ["flat", "bucketed"])
+ORACLE_SQL["ann_topk"] = _layout_union_oracle(ORACLE_SQL["ann_topk"], ["flat", "partitioned"])
+ORACLE_SQL["ivf_topk"] = _layout_union_oracle(ORACLE_SQL["ivf_topk"], ["flat", "partitioned"])
+
+
 
 def _band_key_sql(vec_expr: str, band: int, band_planes: int = 6) -> str:
     """One band's sign-LSH key — SAME hyperplanes + 6-dp rounding as the
@@ -1795,12 +1910,20 @@ FROM v1 a JOIN v2 b USING (o_orderkey) WHERE a.o_orderstatus <> b.o_orderstatus"
 
 
 def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """The driver-checked registry — AT MOST 50 entries (CORRECTNESS_r06
+    recorded exactly the first 50 of r6's 53, dropping the tail: the
+    driver caps the checked window). Physical-layout variants are merged
+    into single layout-union rows (see _layout_union) so every operator
+    keeps oracle coverage inside the window; the image trio sits at the
+    top so the §2.X8 rows can never fall off the end again. Per-variant
+    timings live in bench_queries()."""
     return {
         "bfs_frontier": q_bfs_frontier,
-        "pagerank": q_pagerank,
-        "pagerank_bucketed": q_pagerank_bucketed,
-        "hits": q_hits,
-        "hits_bucketed": q_hits_bucketed,
+        "image_neardup": q_image_neardup,
+        "image_features": q_image_features,
+        "image_resize": q_image_resize,
+        "pagerank": q_pagerank_layouts,
+        "hits": q_hits_layouts,
         "frontier_anti_join": q_frontier_anti_join,
         "depth_collect": q_depth_collect,
         "recovery_scan": q_recovery_scan,
@@ -1834,22 +1957,42 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "label_centroids": q_label_centroids,
         "kmeans_clusters": q_kmeans_clusters,
-        "ann_topk": q_ann_topk,
-        "ann_topk_partitioned": q_ann_topk_partitioned,
-        "ivf_topk": q_ivf_topk,
-        "ivf_topk_partitioned": q_ivf_topk_partitioned,
+        "ann_topk": q_ann_topk_layouts,
+        "ivf_topk": q_ivf_topk_layouts,
         "embedding_dedup_pairs": q_embedding_dedup_pairs,
         "salted_host_agg": q_salted_host_agg,
         "session_stats": q_session_stats,
         "windowed_metrics": q_windowed_metrics,
         "clean_corpus_stats": q_clean_corpus_stats,
+        "anchor_text_index": q_anchor_text_index,
         "audio_features": q_audio_features,
         "video_frame_sample": q_video_frame_sample,
         "cdc_changes": q_cdc_changes,
-        "image_neardup": q_image_neardup,
-        "image_features": q_image_features,
-        "image_resize": q_image_resize,
     }
+
+
+def bench_queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Per-variant registry for bench.py and the plan audits: the merged
+    layout-union rows of queries() are replaced by their individual
+    variants under the SAME names as BENCH_r06.json, so round-over-round
+    like-for-like timing comparisons survive the correctness-window
+    merge."""
+    q = queries()
+    for merged in ("pagerank", "hits", "ann_topk", "ivf_topk"):
+        del q[merged]
+    q.update(
+        {
+            "pagerank": q_pagerank,
+            "pagerank_bucketed": q_pagerank_bucketed,
+            "hits": q_hits,
+            "hits_bucketed": q_hits_bucketed,
+            "ann_topk": q_ann_topk,
+            "ann_topk_partitioned": q_ann_topk_partitioned,
+            "ivf_topk": q_ivf_topk,
+            "ivf_topk_partitioned": q_ivf_topk_partitioned,
+        }
+    )
+    return q
 
 
 def oracle_sql() -> Dict[str, str]:

@@ -306,7 +306,7 @@ def audit_pagerank_bucketed(spark, sections, failures):
 
 def main():
     spark = get_spark(app="explain-audit", cores=8, shuffle_partitions=8)
-    qs = Q.queries()
+    qs = Q.bench_queries()
     sections, failures = [], []
     audit_crawl_plans(spark, sections, failures)
     audit_pagerank_bucketed(spark, sections, failures)

@@ -39,7 +39,7 @@ def _plan(df) -> str:
 
 
 def test_headline_plan_properties(spark):
-    qs = Q.queries()
+    qs = Q.bench_queries()
     for name in sorted(set(MUST_CONTAIN) | set(FORBIDDEN)):
         plan = _plan(qs[name](spark, SF_DIR))
         for frag in MUST_CONTAIN.get(name, []):
