@@ -692,12 +692,14 @@ def q_anchor_text_index(spark, sf_dir):
 
     100-TB shape: the anchor-source dimension broadcasts (part is the
     small side of the o→p link fact), tokens are produced JVM-side
-    (split + array_distinct + explode Generate — no Python), and both
-    aggregates ride ONE dst-keyed shuffle with map-side partial
-    aggregation (collect_set merges partially; anchor vocabularies per
-    URL are bounded in practice). The top-5 render is a comma-joined
-    STRING, not an array — arrays can't cross the driver's pandas
-    canonicalizer (the kmeans r6 lesson)."""
+    (split + array_distinct + explode Generate — no Python), and the
+    distinct-counting aggregate takes the standard two-level shape —
+    partial-aggregate on (url, src_page), exchange, then the url-level
+    merge — every level map-side combined (collect_set buffers merge
+    partially; anchor vocabularies per URL are bounded in practice).
+    The top-5 render is a comma-joined STRING, not an array — arrays
+    can't cross the driver's pandas canonicalizer (the kmeans r6
+    lesson). Plan-asserted in tests/test_plans.py."""
     li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_orderkey")
     part = _t(spark, sf_dir, "part").select("p_partkey", "p_name")
     toks = (

@@ -76,18 +76,19 @@ AUDITS = {
     # shuffle (WindowGroupLimit), tokens stay JVM-side (explode Generate
     # feeding a partial agg), and the 1-row N aggregate broadcasts
     "tfidf_top_terms": ["WindowGroupLimit", "Generate", "HashAggregate"],
+    # anchor-text index: dim broadcasts, tokenize is an explode Generate
+    # (JVM-side), the distinct agg partial-aggregates at every level
+    "anchor_text_index": ["BroadcastHashJoin", "Generate", "partial_collect_set"],
     # hits: the returned frame must be CHECKPOINTED state (same
     # IterationState discipline as pagerank)
     "hits": ["Scan ExistingRDD"],
     "hits_bucketed": ["Scan ExistingRDD"],
-    # k-means: scan pruned to (vec_id, embedding); assignment is the Arrow
-    # kernel; the posexplode update partial-aggregates before its exchange
-    "kmeans_clusters": [
-        "MapInPandas",
-        "ReadSchema: struct<vec_id:bigint,embedding:array<float>>",
-        "HashAggregate",
-        "Generate",
-    ],
+    # k-means: the returned flat codebook is built on CHECKPOINTED
+    # per-(cell,dim) stats (same IterationState discipline as
+    # pagerank/hits — the final plan must not re-derive the Lloyd pass;
+    # the in-loop scan pruning + Arrow kernel + posexplode partial agg
+    # are audited by audit_kmeans_iteration below on the raw round plan)
+    "kmeans_clusters": ["Scan ExistingRDD"],
     # exact quantiles run on the (lang, n_chars) HISTOGRAM (pruned scan,
     # map-side-combinable agg), never a per-language sort of the raw docs
     "length_quantiles": [
@@ -204,6 +205,44 @@ def audit_session_stats(spark, sections, failures):
     )
 
 
+def audit_kmeans_iteration(spark, sections, failures):
+    """One raw Lloyd round (pre-checkpoint — the checkpointed result plan
+    is audited under kmeans_clusters): scan pruned to (vec_id, embedding),
+    assignment is the Arrow kernel (MapInPandas), the posexplode update
+    partial-aggregates (HashAggregate below the exchange)."""
+    from pyspark.sql import functions as F
+
+    from distributed_web_crawler_spark.operators.similarity import (
+        _kmeans_assign,
+        ivf_centroids,
+    )
+
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    cents = [list(map(float, c)) for c in ivf_centroids(64, 16)]
+    assigned = _kmeans_assign(emb.select("vec_id", "embedding"), cents)
+    stats = (
+        assigned.select("cell", F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("cell", "dim")
+        .agg(F.round(F.avg("v") * 1e6).cast("long").alias("cvu"), F.count("*").alias("n"))
+    )
+    plan = plan_of(stats)
+    checks = [
+        "MapInPandas",
+        "ReadSchema: struct<vec_id:bigint,embedding:array<float>>",
+        "HashAggregate",
+        "Generate",
+    ]
+    missing = [c for c in checks if c not in plan]
+    if missing:
+        failures.append(("kmeans_iteration", missing))
+    sections.append(
+        f"## kmeans_iteration — {'OK' if not missing else 'MISSING ' + str(missing)}\n\n"
+        "One raw Lloyd round: pruned scan, Arrow assignment kernel, posexplode\n"
+        "partial-aggregated update.\n\n"
+        f"```\n{plan.strip()}\n```\n"
+    )
+
+
 def plan_of(df) -> str:
     buf = io.StringIO()
     with redirect_stdout(buf):
@@ -312,6 +351,7 @@ def main():
     audit_pagerank_bucketed(spark, sections, failures)
     audit_hits_bucketed(spark, sections, failures)
     audit_session_stats(spark, sections, failures)
+    audit_kmeans_iteration(spark, sections, failures)
     for name in sorted(qs):
         plan = plan_of(qs[name](spark, SF_DIR))
         checks = AUDITS.get(name, [])

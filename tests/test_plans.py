@@ -22,6 +22,9 @@ MUST_CONTAIN = {
     "session_stats": [
         "ReadSchema: struct<event_id:bigint,ts:timestamp_ntz,user_id:bigint,value:double>"
     ],
+    # anchor dim broadcasts; tokenize stays JVM-side (explode Generate);
+    # the distinct agg is partial-aggregated at every level
+    "anchor_text_index": ["BroadcastHashJoin", "Generate", "partial_collect_set"],
 }
 FORBIDDEN = {
     "minhash_signature": ["CartesianProduct"],
