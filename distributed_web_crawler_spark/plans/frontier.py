@@ -49,6 +49,7 @@ import json
 from ..catalog.tables import JobStateStore, _atomic_write
 from ..fixtures import corpus as C
 from ..functions import bloom as B
+from ..functions import cuckoo as CK
 from ..functions import urls as U
 from ..operators.extract import extract_links
 from ..sources.fetch import fetch_and_verify
@@ -126,6 +127,15 @@ class EngineConfig:
     # crawl scans a thousand delta roots per re-check/result read.
     compact_seen_every: Optional[int] = 16
     bloom: B.BloomParams = field(default_factory=B.BloomParams)
+    # which approximate seen-filter backs the probe + fused write when
+    # use_bloom is on: "bloom" (OR-mergeable bits, no deletion) or
+    # "cuckoo" (functions/cuckoo.py — fingerprint table with exact
+    # deletion, the north rule's TTL/re-crawl arm). Both share the same
+    # blob layout, manifest inheritance, and no-false-negative contract;
+    # the exact re-check of positives is identical, so crawl results are
+    # filter-independent by construction (tests pin this).
+    seen_filter: str = "bloom"
+    cuckoo: CK.CuckooParams = field(default_factory=CK.CuckooParams)
     verify_payloads: bool = False  # per-row PSNR/phash/caption invariants
     # pipeline payload verification ACROSS rounds: round r's verify job
     # (decode + PSNR/phash/caption, the drain's longest phase) keeps running
@@ -174,6 +184,17 @@ class FrontierEngine:
     # ------------------------------------------------------------ helpers
     def store(self, job_id: str) -> JobStateStore:
         return JobStateStore(self.warehouse, job_id)
+
+    def _seen_filter(self):
+        """(module, params) of the configured approximate seen-filter —
+        bloom and cuckoo expose the same surface (load_blobs / contains /
+        add_hashes / write_blob), so the probe and the fused write are
+        filter-agnostic."""
+        if self.cfg.seen_filter == "cuckoo":
+            return CK, self.cfg.cuckoo
+        if self.cfg.seen_filter != "bloom":
+            raise ValueError(f"unknown seen_filter {self.cfg.seen_filter!r} (bloom|cuckoo)")
+        return B, self.cfg.bloom
 
     def _with_keys(self, df: DataFrame) -> DataFrame:
         url = U.canonicalize(F.col("url"))
@@ -279,7 +300,7 @@ class FrontierEngine:
             return fresh, deduped
 
         blobs = {b: p for b, p in store.bloom_blobs().items()}
-        params = self.cfg.bloom
+        FM, params = self._seen_filter()
 
         def dedup_probe(batches):
             import pandas as pd  # noqa: F401
@@ -293,9 +314,9 @@ class FrontierEngine:
                 for bucket, grp in pdf.groupby("seen_bucket"):
                     filt = cache.get(bucket)
                     if filt is None:
-                        filt = B.load_blobs(blobs.get(int(bucket)), params)
+                        filt = FM.load_blobs(blobs.get(int(bucket)), params)
                         cache[bucket] = filt
-                    maybe = B.contains(filt, grp["url_hash"].to_numpy(), params)
+                    maybe = FM.contains(filt, grp["url_hash"].to_numpy(), params)
                     g = grp.copy()
                     g["maybe_seen"] = maybe
                     out.append(g)
@@ -362,7 +383,7 @@ class FrontierEngine:
         (bloom.load_blobs) reproduces the unchunked blob exactly and no
         two tasks ever write one file."""
         blobs = store.bloom_blobs() if (self.cfg.use_bloom and bloom_round is not None) else None
-        params = self.cfg.bloom
+        FM, params = self._seen_filter()
         update_blooms = blobs is not None
         r = bloom_round
         chunks = 1
@@ -379,10 +400,13 @@ class FrontierEngine:
             keys = keys + ["_wchunk"]
 
         def build(key, pdf):
+            import time as _time
+
             import pandas as pd
             import pyarrow as pa
             import pyarrow.parquet as pq
 
+            t_entry = _time.monotonic()
             chunk = int(key[-1]) if chunks > 1 else 0
             if slice_col:
                 sl, bucket = int(key[0]), int(key[1])
@@ -399,6 +423,7 @@ class FrontierEngine:
                     "depth": pa.array(pdf["depth"], pa.int32()),
                 }
             )
+            t_conv = _time.monotonic()
             # deterministic FINAL name + atomic replace: a retried/speculative
             # task attempt overwrites the same file (same row set) instead of
             # appending a duplicate part — groupBy gives one call per bucket.
@@ -414,13 +439,32 @@ class FrontierEngine:
             tmp = os.path.join(part_dir, f".{stem}.{uuid.uuid4().hex[:12]}.tmp")
             pq.write_table(table, tmp)
             os.replace(tmp, path)
+            t_pq = _time.monotonic()
             if update_blooms:
-                filt = B.load_blobs(blobs.get(bucket), params)
-                B.add_hashes(filt, pdf["url_hash"].to_numpy(), params)
-                B.write_blob(store.bloom_blob_path(r, bucket, chunk), filt)
-            return pd.DataFrame({"slice": [sl], "bucket": [bucket], "n": [len(pdf)]})
+                filt = FM.load_blobs(blobs.get(bucket), params)
+                FM.add_hashes(filt, pdf["url_hash"].to_numpy(), params)
+                FM.write_blob(store.bloom_blob_path(r, bucket, chunk), filt)
+            t_bloom = _time.monotonic()
+            # per-task phase timers ride back on the stats row (no extra job):
+            # conv = pandas→Arrow, pq = parquet write, bloom = blob fold+write.
+            # Worker-visible time only — shuffle/Arrow-IPC transfer cost is the
+            # gap between the job's wall and max-per-slot sums of these.
+            return pd.DataFrame({
+                "slice": [sl], "bucket": [bucket], "n": [len(pdf)],
+                "conv_ms": [int((t_conv - t_entry) * 1000)],
+                "pq_ms": [int((t_pq - t_conv) * 1000)],
+                "bloom_ms": [int((t_bloom - t_pq) * 1000)],
+            })
 
-        stats = rows.groupBy(*keys).applyInPandas(build, schema="slice int, bucket int, n long").collect()
+        stats = rows.groupBy(*keys).applyInPandas(
+            build, schema="slice int, bucket int, n long, conv_ms long, pq_ms long, bloom_ms long"
+        ).collect()
+        self.last_write_task_ms = {
+            "conv_ms": sum(row["conv_ms"] for row in stats),
+            "pq_ms": sum(row["pq_ms"] for row in stats),
+            "bloom_ms": sum(row["bloom_ms"] for row in stats),
+            "n_tasks": len(stats),
+        }
         if slice_col:
             return [(row["slice"], row["bucket"], row["n"]) for row in stats]
         return [(row["bucket"], row["n"]) for row in stats]
@@ -850,6 +894,11 @@ class FrontierEngine:
                 )
                 touched = sorted({s[0] for s in stats})
                 n_new = sum(s[1] for s in stats)
+                # worker-side breakdown of the write job (summed across its
+                # tasks): lets the bench attribute writes_ms to Arrow
+                # conversion / parquet encode / bloom fold vs shuffle+sched
+                for k, v in getattr(self, "last_write_task_ms", {}).items():
+                    phases[f"write_{k}"] = v
             sched_entries: List[list] = []
             if deferred_future is not None:
                 def_stats = deferred_future.result()
