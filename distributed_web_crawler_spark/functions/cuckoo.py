@@ -214,7 +214,14 @@ def add_hashes(filt: np.ndarray, hashes: np.ndarray, p: CuckooParams) -> None:
 def delete_hashes(filt: np.ndarray, hashes: np.ndarray, p: CuckooParams) -> np.ndarray:
     """Remove each (distinct) hash's fingerprint from one slot, if
     present. Returns a per-input boolean deleted-mask. This is the
-    operation Bloom cannot do — TTL/re-crawl 'unsee'."""
+    operation Bloom cannot do — TTL/re-crawl 'unsee'.
+
+    Contract (the paper's §3.3): only delete keys that were actually
+    inserted. Deleting a never-inserted key whose (bucket, fingerprint)
+    pair collides with a stored key would remove THAT key's entry and
+    create a false negative — callers must gate deletion on the exact
+    seen table (the engine does: unsee candidates come from the seen
+    parquet, never from user input)."""
     h = np.asarray(hashes, dtype=np.int64)
     out = np.zeros(len(h), dtype=bool)
     hu, inv = np.unique(h, return_inverse=True)

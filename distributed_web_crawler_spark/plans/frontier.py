@@ -301,12 +301,45 @@ class FrontierEngine:
 
         blobs = {b: p for b, p in store.bloom_blobs().items()}
         FM, params = self._seen_filter()
+        # exact re-check INPUTS for filter positives: a Bloom/cuckoo false
+        # positive must never lose a URL. The re-check runs INSIDE the
+        # probe task (numpy isin against the positive buckets' own seen
+        # url_hash column, loaded lazily per bucket from these roots) —
+        # the r6 layout ran it as a separate anti-join whose subplan
+        # executed lazily inside the fused WRITE job, adding a positives
+        # exchange + a seen-scan stage to every round's writes_ms while
+        # the write tasks themselves measured ~0 (profiled r7). IO is
+        # still bucket-pruned: a task reads a bucket's hashes only when
+        # that bucket has positives this round; buckets with none cost
+        # nothing — re-check IO tracks the positive set, not crawl age.
+        # (The fine_key refinement below can split one bucket across up
+        # to 8 tasks, so a hot bucket's hash column may be read up to 8×;
+        # at 10^10 scale seen_buckets ≫ cores, the refinement disappears
+        # and each touched bucket loads exactly once.)
+        seen_roots = [os.path.join(store.dir, p) if not os.path.isabs(p) else p for p in store.seen_paths()]
 
         def dedup_probe(batches):
+            import glob as _glob
+
+            import numpy as np
             import pandas as pd  # noqa: F401
+            import pyarrow.parquet as _pq
 
             cache: dict = {}
+            seen_arr: dict = {}
             seen_hashes: set = set()  # per-PARTITION dedup state (one task = one partition)
+
+            def bucket_seen(bucket: int) -> np.ndarray:
+                arr = seen_arr.get(bucket)
+                if arr is None:
+                    parts = []
+                    for root in seen_roots:
+                        for f in sorted(_glob.glob(os.path.join(root, f"seen_bucket={bucket}", "*.parquet"))):
+                            parts.append(_pq.read_table(f, columns=["url_hash"])["url_hash"].to_numpy())
+                    arr = np.concatenate(parts) if parts else np.empty(0, dtype=np.int64)
+                    seen_arr[bucket] = arr
+                return arr
+
             for pdf in batches:
                 pdf = pdf[~pdf["url_hash"].isin(seen_hashes)].drop_duplicates("url_hash")
                 seen_hashes.update(pdf["url_hash"].tolist())
@@ -316,9 +349,17 @@ class FrontierEngine:
                     if filt is None:
                         filt = FM.load_blobs(blobs.get(int(bucket)), params)
                         cache[bucket] = filt
-                    maybe = FM.contains(filt, grp["url_hash"].to_numpy(), params)
+                    hashes = grp["url_hash"].to_numpy()
+                    maybe = FM.contains(filt, hashes, params)
+                    seen_flag = maybe
+                    if maybe.any():
+                        # exact membership for the positives only: False =
+                        # filter FP, rescued right here instead of via a
+                        # downstream anti-join
+                        seen_flag = maybe.copy()
+                        seen_flag[maybe] = np.isin(hashes[maybe], bucket_seen(int(bucket)))
                     g = grp.copy()
-                    g["maybe_seen"] = maybe
+                    g["maybe_seen"] = seen_flag
                     out.append(g)
                 yield pd.concat(out) if out else pdf.assign(maybe_seen=False)
 
@@ -332,21 +373,9 @@ class FrontierEngine:
         probed = probed.persist()
         if persisted is not None:
             persisted.append(probed)
+        # maybe_seen is now EXACT (filter positives were re-checked in-task)
         fresh = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
-        positives = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
-        # exact re-check: a Bloom false positive must never lose a URL.
-        # Positives are rare (FP rate + true re-discoveries), so first
-        # collect their DISTINCT bucket list (≤ seen_buckets ints, read off
-        # the just-persisted probe output) and prune the seen scan to those
-        # buckets — the PartitionFilter keeps re-check IO proportional to
-        # the positives, where the unpruned join re-scanned the ENTIRE seen
-        # history every round (O(crawl age), the 10^10-scale killer).
-        pos_buckets = [r[0] for r in positives.select("seen_bucket").distinct().collect()]
-        if not pos_buckets:
-            return fresh, probed
-        pruned_seen = self._seen_df(store, buckets=pos_buckets)
-        survivors = positives.join(pruned_seen.select("url_hash"), "url_hash", "left_anti")
-        return fresh.unionByName(survivors), probed
+        return fresh, probed
 
     def _write_bucketed(
         self, store: JobStateStore, out_dir: str, rows: DataFrame, bloom_round: Optional[int] = None,

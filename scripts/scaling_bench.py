@@ -89,8 +89,11 @@ def main():
     # bench.py runs the drain with pipeline_verify: round r's decode+verify
     # overlaps round r+1's compute, so fetch_verify_wait_ms is residual wait
     # (~0 when the overlap fully hides it) and phases no longer sum to wall.
-    # The extract stage is the representative measured compute phase.
-    extract_speedup = (p8.get("extract_dedup_ms", 0) or 1) / (p32.get("extract_dedup_ms", 1) or 1)
+    # Since r7 the extract→probe→write pipeline executes as ONE fused Spark
+    # job whose wall lands in writes_ms (extract_dedup_ms is plan
+    # construction only) — that fused job is the representative compute
+    # phase; its worker-side write cost rides in write_conv/pq/bloom_ms.
+    extract_speedup = (p8.get("writes_ms", 0) or 1) / (p32.get("writes_ms", 1) or 1)
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     md = f"""# BENCH/BASELINE.md — scaling evidence ({date.today().isoformat()})
 
@@ -142,16 +145,18 @@ and a resume bit-identical.
 
 ## Reading the numbers
 
-The compute phases scale: the extraction+dedup stage — the dominant
-measured main-thread compute — speeds up {extract_speedup:.2f}× with 4×
+The compute phases scale: the fused extract→probe→write round job (one
+Spark job since r7 — its wall lands in `writes_ms`; the filter-positive
+exact re-check runs inside the probe task, so no per-round anti-join or
+separate seen scan remains) speeds up {extract_speedup:.2f}× with 4×
 cores, and payload decode+verify (the heaviest real work at the 10^10
 target) is PIPELINED across rounds since r4: round r's verify overlaps
 round r+1's compute, so its phase row shows residual wait (~0 when fully
 hidden) and the per-phase rows no longer sum to wall clock. What does not
-scale in this sandbox is what a single box shares:
-shuffle serialization and parquet commit I/O run through one disk/page
-cache and one driver JVM regardless of "cluster size", so the write-side
-phases plateau and drag the end-to-end figure below the target. On a real
+scale in this sandbox is what a single box shares: the Arrow-batched
+decode/verify kernel is memory-bandwidth-bound across 32 sibling
+processes on one socket, so as the fused job shrinks with cores the
+residual verify wait becomes the exposed non-scaling phase. On a real
 N→4N executor cluster those phases get 4× disks, NICs, and JVMs: every
 stage is partitioned by data keys (corpus bucket + offset chunk, seen
 bucket, host), there are no driver-side per-row loops, and per-round driver

@@ -98,18 +98,22 @@ def test_capacity_error_is_actionable():
 @settings(max_examples=30, deadline=None)
 @given(
     ins=st.lists(st.integers(-(2**63), 2**63 - 1), max_size=300),
-    dels=st.lists(st.integers(-(2**63), 2**63 - 1), max_size=300),
+    del_idx=st.lists(st.integers(0, 10**6), max_size=300),
 )
-def test_property_model_parity(ins, dels):
+def test_property_model_parity(ins, del_idx):
     """Model check against a plain Python set: membership has no false
-    negatives after any insert/delete interleaving, and deletion reports
-    exactly which keys were present."""
+    negatives after any insert/delete interleaving, and every delete of
+    an inserted key succeeds. Deletions are drawn FROM the inserted set —
+    the filter's documented contract (deleting a never-inserted key whose
+    (bucket, fp) collides with a stored one is undefined, per the paper
+    §3.3; the engine gates unsee candidates on the exact seen table)."""
     p = CK.CuckooParams(n_buckets_log2=10)
     f = CK.empty_filter(p)
     model = set()
     a = np.array(ins, dtype=np.int64)
     CK.add_hashes(f, a, p)
     model.update(a.tolist())
+    dels = [ins[i % len(ins)] for i in del_idx] if ins else []
     d = np.array(dels, dtype=np.int64)
     got = CK.delete_hashes(f, d, p)
     for k, ok in zip(d.tolist(), got.tolist()):
