@@ -75,6 +75,30 @@ class JobStateStore:
     def metrics_path(self, r: int) -> str:
         return os.path.join(self.round_dir(r), "metrics")
 
+    def tombstones_path(self, r: int) -> str:
+        """Round r's seen-set DELETES (bucket-partitioned parquet, same
+        layout/schema as new/) — the merge-on-read equality-delete files
+        of the seen table, written by FrontierEngine.unsee_urls. A
+        tombstone at round t suppresses seen rows written in rounds
+        STRICTLY BEFORE t only; a re-add in a later round (unsee_urls'
+        reseed round, or natural re-discovery) is a new row and survives.
+        compact_seen applies tombstones physically (its output has them
+        folded in), so tombstone_components() hides rounds the live
+        compaction covers and vacuum() deletes their files."""
+        return os.path.join(self.round_dir(r), "tombstones")
+
+    def tombstone_components(self) -> List[tuple]:
+        """(round, path) of every live tombstone file-set: committed
+        rounds AFTER the live compaction's upto (earlier ones are already
+        folded into the compacted table)."""
+        sc = self.read_seen_compact()
+        lo = sc["upto"] if sc is not None else -1
+        return [
+            (r, self.tombstones_path(r))
+            for r in self.committed_rounds()
+            if r > lo and os.path.isdir(self.tombstones_path(r))
+        ]
+
     def seen_compact_dir(self) -> str:
         return os.path.join(self.dir, "seen_compact")
 
@@ -160,6 +184,7 @@ class JobStateStore:
             "stale_deferred": 0,
             "stale_compacts": 0,
             "compacted_deltas": 0,
+            "covered_tombstones": 0,
         }
         if last is None:
             return stats
@@ -239,6 +264,12 @@ class JobStateStore:
                 if r <= sc["upto"] and os.path.isdir(np_) and np_ not in live_paths:
                     shutil.rmtree(np_)
                     stats["compacted_deltas"] += 1
+                # tombstones covered by the compaction were folded in
+                # physically at flip time — the delete files are dead
+                tp = self.tombstones_path(r)
+                if r <= sc["upto"] and os.path.isdir(tp):
+                    shutil.rmtree(tp)
+                    stats["covered_tombstones"] += 1
         return stats
 
     # ---------------------------------------------------------- readers
@@ -253,14 +284,24 @@ class JobStateStore:
         automatically every cfg.compact_seen_every rounds) keeps the
         component count — and so each round's seen-scan file listing —
         bounded for crawls of any age."""
-        base: List[str] = []
+        return [p for _, p in self.seen_components()]
+
+    def seen_components(self) -> List[tuple]:
+        """(effective_round, path) of every live seen component. The
+        compacted table's effective round is its `upto` (every row in it
+        was written at some round <= upto and already has covered
+        tombstones folded in); per-round deltas carry their own round.
+        The round tag is what tombstone suppression compares against:
+        a row from component round c is suppressed by a tombstone from
+        round t iff t > c."""
+        comps: List[tuple] = []
         lo = -1
         sc = self.read_seen_compact()
         if sc is not None:
-            base.append(os.path.join(self.dir, sc["path"]))
+            comps.append((sc["upto"], os.path.join(self.dir, sc["path"])))
             lo = sc["upto"]
-        return base + [
-            self.seen_delta_path(r)
+        return comps + [
+            (r, self.seen_delta_path(r))
             for r in self.committed_rounds()
             if r > lo and os.path.isdir(self.seen_delta_path(r))
         ]

@@ -205,24 +205,44 @@ class FrontierEngine:
         )
 
     def _seen_df(self, store: JobStateStore, buckets: Optional[List[int]] = None) -> Optional[DataFrame]:
-        paths = store.seen_paths()
-        if not paths:
+        """Merge-on-read view of the seen table: the union of live
+        components MINUS tombstone suppression (unsee_urls' equality-delete
+        files — the Iceberg v2 merge-on-read rule). A tombstone from round
+        t suppresses matching rows from components whose effective round is
+        < t only, so a re-add AFTER the unsee (reseed, or natural
+        re-discovery) survives. compact_seen materializes this exact view,
+        after which the delete files are dead (vacuum sweeps them)."""
+        comps = store.seen_components()
+        if not comps:
             return None
         # each delta is its own partitioned root (union, not multi-path read);
         # the bucket filter pushes through the union into every scan as a
         # PartitionFilter
         from functools import reduce
 
-        df = reduce(
-            DataFrame.unionByName,
-            [
-                self.spark.read.schema("url_hash long, url string, depth int, seen_bucket int").parquet(p)
-                for p in paths
-            ],
-        )
-        if buckets is not None:
-            df = df.filter(F.col("seen_bucket").isin(buckets))
-        return df
+        schema = "url_hash long, url string, depth int, seen_bucket int"
+
+        def read(p: str, cols: Optional[List[str]] = None) -> DataFrame:
+            df = self.spark.read.schema(schema).parquet(p)
+            if buckets is not None:
+                df = df.filter(F.col("seen_bucket").isin(buckets))
+            return df.select(*cols) if cols else df
+
+        tombs = store.tombstone_components()
+        parts = []
+        for c, p in comps:
+            df = read(p)
+            kill_paths = [tp for t, tp in tombs if t > c]
+            if kill_paths:
+                kill = reduce(
+                    DataFrame.unionByName, [read(tp, ["url_hash"]) for tp in kill_paths]
+                )
+                # unsee batches are recrawl lists — orders of magnitude below
+                # the seen table; the anti-join must never shuffle the seen
+                # side (at 10^10 rows that is the whole table)
+                df = df.join(F.broadcast(kill), "url_hash", "left_anti")
+            parts.append(df)
+        return reduce(DataFrame.unionByName, parts)
 
     def _read_components(self, paths: List[str]) -> DataFrame:
         """Read frontier file-sets (bucket-partitioned parquet) as one DF.
@@ -316,7 +336,15 @@ class FrontierEngine:
         # to 8 tasks, so a hot bucket's hash column may be read up to 8×;
         # at 10^10 scale seen_buckets ≫ cores, the refinement disappears
         # and each touched bucket loads exactly once.)
-        seen_roots = [os.path.join(store.dir, p) if not os.path.isabs(p) else p for p in store.seen_paths()]
+        def _abs(p: str) -> str:
+            return os.path.join(store.dir, p) if not os.path.isabs(p) else p
+
+        seen_roots = [(c, _abs(p)) for c, p in store.seen_components()]
+        # tombstone suppression (unsee_urls): a tombstone from round t kills
+        # matching hashes from components with effective round < t only —
+        # identical to the _seen_df merge-on-read rule, applied in numpy so
+        # the probe's exact re-check can never resurrect an unseen URL
+        tomb_roots = [(t, _abs(p)) for t, p in store.tombstone_components()]
 
         def dedup_probe(batches):
             import glob as _glob
@@ -329,13 +357,24 @@ class FrontierEngine:
             seen_arr: dict = {}
             seen_hashes: set = set()  # per-PARTITION dedup state (one task = one partition)
 
+            def load_hashes(root: str, bucket: int) -> np.ndarray:
+                parts = []
+                for f in sorted(_glob.glob(os.path.join(root, f"seen_bucket={bucket}", "*.parquet"))):
+                    parts.append(_pq.read_table(f, columns=["url_hash"])["url_hash"].to_numpy())
+                return np.concatenate(parts) if parts else np.empty(0, dtype=np.int64)
+
             def bucket_seen(bucket: int) -> np.ndarray:
                 arr = seen_arr.get(bucket)
                 if arr is None:
+                    tl = [(t, load_hashes(root, bucket)) for t, root in tomb_roots]
                     parts = []
-                    for root in seen_roots:
-                        for f in sorted(_glob.glob(os.path.join(root, f"seen_bucket={bucket}", "*.parquet"))):
-                            parts.append(_pq.read_table(f, columns=["url_hash"])["url_hash"].to_numpy())
+                    for c, root in seen_roots:
+                        a = load_hashes(root, bucket)
+                        if len(a):
+                            kills = [ta for t, ta in tl if t > c and len(ta)]
+                            if kills:
+                                a = a[~np.isin(a, np.concatenate(kills))]
+                        parts.append(a)
                     arr = np.concatenate(parts) if parts else np.empty(0, dtype=np.int64)
                     seen_arr[bucket] = arr
                 return arr
@@ -380,6 +419,7 @@ class FrontierEngine:
     def _write_bucketed(
         self, store: JobStateStore, out_dir: str, rows: DataFrame, bloom_round: Optional[int] = None,
         slice_col: Optional[str] = None, approx_rows: Optional[int] = None,
+        blob_delete: bool = False,
     ) -> List[tuple]:
         """ONE shuffle, one pass: group rows by seen_bucket; each task writes
         its bucket's parquet part (hive layout, `seen_bucket=<b>/`) AND — for
@@ -416,6 +456,13 @@ class FrontierEngine:
         update_blooms = blobs is not None
         r = bloom_round
         chunks = 1
+        if blob_delete and approx_rows:
+            # chunked DELETE blobs would be unsound: each chunk's file would
+            # be `previous minus its own hashes` and the reader's entry-merge
+            # would re-insert hashes the OTHER chunk deleted. Unsee batches
+            # are recrawl lists (control-plane sized), so one task per bucket
+            # holds the batch's share comfortably.
+            approx_rows = None
         if approx_rows:
             per_bucket = approx_rows / max(1, self.cfg.seen_buckets)
             chunks = min(256, max(1, -(-int(per_bucket) // self.cfg.max_group_rows)))
@@ -471,7 +518,14 @@ class FrontierEngine:
             t_pq = _time.monotonic()
             if update_blooms:
                 filt = FM.load_blobs(blobs.get(bucket), params)
-                FM.add_hashes(filt, pdf["url_hash"].to_numpy(), params)
+                if blob_delete:
+                    # exact removal — cuckoo only (the bloom arm never sets
+                    # blob_delete: its stale positive bits are rescued by
+                    # the probe's exact re-check against the tombstone-
+                    # suppressed seen table)
+                    FM.delete_hashes(filt, pdf["url_hash"].to_numpy(), params)
+                else:
+                    FM.add_hashes(filt, pdf["url_hash"].to_numpy(), params)
                 FM.write_blob(store.bloom_blob_path(r, bucket, chunk), filt)
             t_bloom = _time.monotonic()
             # per-task phase timers ride back on the stats row (no extra job):
@@ -669,7 +723,10 @@ class FrontierEngine:
         store = self.store(job_id)
         last = store.last_committed()
         paths = store.seen_paths()
-        if last is None or len(paths) <= 1:
+        # one component with NO live tombstones is already compact; with
+        # tombstones, compaction is what folds the deletes physically (and
+        # lets vacuum drop the delete files), so it must proceed
+        if last is None or not paths or (len(paths) == 1 and not store.tombstone_components()):
             return {"compacted": False, "n_components": len(paths)}
         # staging name is unique per attempt (see seen_compact_staging):
         # a concurrent compactor can never collide with — or delete — the
@@ -689,6 +746,146 @@ class FrontierEngine:
         # left as an aged-out orphan for vacuum and readers keep the winner
         flipped = store.set_seen_compact(last, os.path.relpath(staging, store.dir))
         return {"compacted": flipped, "upto": last, "n_components": len(paths)}
+
+    # ------------------------------------------------------------ unsee / recrawl
+    def unsee_urls(self, job_id: str, urls, reseed: bool = False) -> dict:
+        """Remove URLs from the job's seen set — the re-crawl primitive.
+        The reference's only forget path is Redis cache-TTL expiry
+        (RedisCache/cache.go:55-72: an expired entry makes the next job
+        re-crawl from scratch); on a persistent 10^10-row seen table the
+        analog is a targeted equality-delete, done Iceberg-style as
+        merge-on-read: ONE committed tombstone round whose delete file-set
+        (bucket-partitioned, same layout as new/) suppresses older seen
+        rows at read time, folds physically at the next compaction, and is
+        vacuumed once covered. No seen component is rewritten.
+
+        Candidates are gated on the EXACT seen table (inner join), never
+        trusted from user input — the cuckoo delete contract (deleting a
+        never-inserted key can evict a colliding key's fingerprint and
+        create a false negative, functions/cuckoo.py delete_hashes). With
+        the cuckoo filter the touched buckets' blobs are rewritten with the
+        hashes exactly deleted; with bloom (no deletion) the stale positive
+        bits stay and the probe's exact re-check against the suppressed
+        seen view rescues the URL as new — correct either way, cuckoo just
+        keeps the filter tight.
+
+        ``reseed=True`` re-enters the unseen URLs in the SAME committed
+        round, at their ORIGINAL discovery depths (the tombstone rows carry
+        them), so a subsequent ``run_job`` resume re-fetches their payloads
+        without disturbing the crawl's depth structure (client_payload is
+        depth-keyed). The reseed delta's effective round equals the
+        tombstone round and the suppression rule is strict (t > c), so the
+        re-added rows survive their own round's tombstone. One commit makes
+        the whole operation atomic: a crash leaves either the old state or
+        tombstone+reseed together — never URLs unseen but lost (a two-round
+        layout would strand them, because re-running unsee gates on the
+        seen set the crash already shrank). Returns
+        {"round": r, "n_unseen": n, "n_reseeded": m}."""
+        import pandas as pd
+
+        store = self.store(job_id)
+        last = store.last_committed()
+        if last is None:
+            raise ValueError(f"unsee_urls: job {job_id!r} has no committed rounds")
+        store.abort_round(last + 1)  # crash cleanup, same as resume
+        r = last + 1
+        url_list = [urls] if isinstance(urls, str) else list(urls)
+        cand = self.spark.createDataFrame(pd.DataFrame({"url": url_list})).dropDuplicates(["url"])
+        cand = self._with_keys(cand).withColumn("host", U.host_of(F.col("url")))
+        # candidate buckets bound the seen scan (PartitionFilter-pruned);
+        # the distinct-bucket collect is capped by cfg.seen_buckets
+        bucket_list = [row[0] for row in cand.select("seen_bucket").distinct().collect()]
+        seen = self._seen_df(store, buckets=bucket_list)
+        if seen is None:
+            raise ValueError(f"unsee_urls: job {job_id!r} has an empty seen set")
+        # inner join keeps only real seen rows and carries their depth into
+        # the tombstone schema; the seen view is already suppression-applied,
+        # so a URL unseen twice is a no-op the second time
+        tomb = cand.join(seen.select("url_hash", "depth"), "url_hash", "inner").select(
+            "url", "host", "url_hash", "seen_bucket", "depth"
+        )
+        if reseed:
+            tomb = tomb.persist()  # shared by the tombstone and reseed writes
+        prev = store.read_commit(last)
+        # filter blob plan: without reseed, the cuckoo arm rewrites the
+        # touched buckets' blobs with the hashes exactly deleted (bloom
+        # cannot delete — its stale bits are rescued by the exact re-check).
+        # WITH reseed, delete∘re-add is the identity on these hashes, so the
+        # tombstone write skips blob work entirely and the reseed write
+        # re-adds into the previous blobs (set semantics make it a no-op for
+        # hashes already present) — one blob write instead of two.
+        do_delete = (
+            not reseed and self.cfg.seen_filter == "cuckoo" and self.cfg.use_bloom
+        )
+        touched: List[int] = []
+        try:
+            stats = self._write_bucketed(
+                store, store.tombstones_path(r), tomb,
+                bloom_round=r if do_delete else None, blob_delete=do_delete,
+            )
+            n = sum(s[1] for s in stats)
+            if do_delete:
+                touched = sorted({s[0] for s in stats})
+            # replay the crawl cursor unchanged: the loop's depth/sub-round
+            # arithmetic sees the same state it would without this round
+            manifest = list(prev["frontier_manifest"])
+            n_rs = 0
+            if reseed and n > 0:
+                rs = tomb if self.cfg.robots is None else tomb.filter(
+                    ~blocked_expr(F.col("url"))
+                )
+                # the reseed delta is written twice on purpose: new/ (flat
+                # bucketed — the seen component + filter re-add) and
+                # deferred/due=<depth> slices (the frontier side needs one
+                # file-set PER DEPTH because manifest entries are
+                # single-depth; the politeness scheduler already committed
+                # this slice layout). Both are tiny — recrawl-list sized.
+                rs_stats = self._write_bucketed(
+                    store, store.new_path(r), rs, bloom_round=r, approx_rows=n
+                )
+                touched = sorted(set(touched) | {s[0] for s in rs_stats})
+                fr_stats = self._write_bucketed(
+                    store, store.deferred_path(r),
+                    rs.withColumn("due", F.col("depth")), None,
+                    slice_col="due", approx_rows=n,
+                )
+                per_depth: dict = {}
+                for d0, _b, n_ in fr_stats:
+                    per_depth[d0] = per_depth.get(d0, 0) + n_
+                root = store.deferred_path(r)
+                for d0 in sorted(per_depth):
+                    manifest.append(
+                        [self._rel(store, os.path.join(root, f"due={d0}")), d0, per_depth[d0], 0]
+                    )
+                n_rs = sum(s[1] for s in rs_stats)
+            n_pending = sum(e[2] for e in manifest)
+            # reseed entries reset the drain cursor to the seed round's
+            # state (depth -1 / sub -1): the next _run_round must start the
+            # min-depth's drain at sub-round 0 and re-schedule politeness
+            # over ALL its entries. Replaying the old cursor verbatim would
+            # deadlock when a reseed depth equals the cursor depth — the
+            # sub-round would advance and the reseed slice (due tag 0)
+            # would never be consumed. Without reseed the manifest is
+            # untouched and the cursor replays exactly.
+            reset = n_rs > 0
+            store.commit_round(
+                r,
+                {
+                    "depth": -1 if reset else prev["depth"],
+                    "sub_round": -1 if reset else prev["sub_round"],
+                    "depth_limit": prev.get("depth_limit"),
+                    "n_pending_after": n_pending,
+                    "frontier_manifest": manifest,
+                    "done": n_pending == 0,
+                    "tombstone": n,
+                    "reseed": n_rs,
+                },
+                touched_blooms=touched,
+            )
+        finally:
+            if reseed:
+                tomb.unpersist()
+        return {"round": r, "n_unseen": n, "n_reseeded": n_rs}
 
     # ------------------------------------------------------------ main loop
     def run_job(

@@ -376,6 +376,19 @@ class JobCache:
 
         return self._t.mutate(fn)
 
+    def invalidate(self, seed_url: str) -> bool:
+        """Drop a seed's cache row — the recrawl path's forced refresh.
+        The reference can only wait for Redis TTL expiry to evict a stale
+        entry (cache.go:55-72); a targeted recrawl must evict NOW so the
+        re-drained payload re-caches. Keyed delete, O(1) delta."""
+
+        def fn(df):
+            if not (df["seed_url"] == seed_url).any():
+                return None, False
+            return Delta(dels=[seed_url]), True
+
+        return self._t.mutate(fn)
+
     def get(self, seed_url: str, requested_depth: int, now: Optional[float] = None) -> Optional[List[List[str]]]:
         """F5 + O2 + W4: serve iff cached depth >= requested and unexpired;
         truncate to requested depth; refresh TTL + bump LFU counter on hit."""
@@ -436,3 +449,23 @@ class CrawlService:
         self.ledger.complete(job_id)
         self._publish(job_id, payload)
         return {**summary, "from_cache": False, "results": payload}
+
+    def recrawl(self, job_id: str, urls, now=None) -> dict:
+        """Re-crawl specific URLs of a COMPLETED job: tombstone them out of
+        the seen set and reseed them (engine.unsee_urls), drain the reseeded
+        frontier through the normal resume path, then force-refresh the
+        cache and re-publish. This is the surgical version of the
+        reference's only refresh mechanism — waiting for the Redis TTL to
+        expire the whole seed's entry (RedisCache/cache.go:55-72) and
+        re-crawling everything."""
+        job = self.ledger.get(job_id)
+        if job is None or job.get("state") != "done":
+            raise ValueError(f"recrawl: job {job_id!r} is not a completed job")
+        seed_url, depth = job["seed_url"], int(job["depth"])
+        un = self.engine.unsee_urls(job_id, urls, reseed=True)
+        summary = self.engine.run_job(job_id, seed_url, depth)
+        payload = self.engine.client_payload(job_id, depth)
+        self.cache.invalidate(seed_url)
+        self.cache.put_if_deeper(seed_url, depth, payload, now=now)
+        self._publish(job_id, payload)
+        return {**summary, **un, "results": payload}

@@ -170,7 +170,19 @@ show BOTH collapsing together (extra parallelism amplifies host steal).
 Judge the dataflow by the gap between the engine efficiency and the
 same-window control ceiling above, not by either number alone.
 """
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    # The headline sections above are regenerated per campaign, but the
+    # "Window history (full disclosure)" section is append-only: carry it
+    # over from the existing file so a rewrite can never erase past
+    # attempts (each campaign's narrative is appended there by hand).
+    out_path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    marker = "## Window history"
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            prev = f.read()
+        idx = prev.find(marker)
+        if idx >= 0:
+            md = md.rstrip("\n") + "\n\n" + prev[idx:]
+    with open(out_path, "w") as f:
         f.write(md)
     print(
         json.dumps(

@@ -1,0 +1,187 @@
+"""unsee_urls / recrawl — the seen table's equality-delete path.
+
+The reference's only forget mechanism is Redis cache-TTL expiry
+(RedisCache/cache.go:55-72): wait for the whole seed's entry to expire,
+then re-crawl everything. On the persistent 10^10-row seen table the
+analog is a targeted merge-on-read delete: one committed tombstone round
+suppresses older seen rows at read time (both in the DataFrame view and
+in the probe's numpy exact re-check), the cuckoo filter deletes the
+hashes exactly (bloom stays stale-positive and is rescued by the exact
+re-check), compaction folds the deletes physically, vacuum reclaims the
+delete files, and `reseed=True` re-enters the URLs at their ORIGINAL
+depths in the same atomic commit so a resume re-fetches their payloads
+without disturbing the client payload's depth structure."""
+
+import pandas as pd
+import pytest
+
+from distributed_web_crawler_spark.fixtures import corpus as C
+from distributed_web_crawler_spark.plans.frontier import EngineConfig, FrontierEngine
+from distributed_web_crawler_spark.plans.ledger import CrawlService, JobCache, JobLedger
+
+
+def _engine(spark, corpus_1k, tmp_path, **cfg):
+    spec, path = corpus_1k
+    kw = dict(use_bloom=True, seen_buckets=8, compact_seen_every=None)
+    kw.update(cfg)
+    eng = FrontierEngine(spark, str(tmp_path / "wh"), path, spec, EngineConfig(**kw))
+    seed_i = next(i for i in range(spec.n) if len(C.out_links(i, spec)) >= 3)
+    return eng, spec, seed_i
+
+
+def _seen_rows(eng, job):
+    return sorted(
+        (r["url_hash"], r["url"], r["depth"]) for r in eng.seen_df(job).collect()
+    )
+
+
+def _pick_victims(rows, k=3):
+    """Non-seed URLs spread across depths (incl. the deepest)."""
+    by_depth = {}
+    for h, u, d in rows:
+        if d > 0:
+            by_depth.setdefault(d, []).append(u)
+    out = []
+    for d in sorted(by_depth, reverse=True):
+        out.extend(sorted(by_depth[d])[:1])
+        if len(out) >= k:
+            break
+    while len(out) < k:
+        out.append(sorted(by_depth[max(by_depth)])[1])
+    return out[:k]
+
+
+@pytest.mark.parametrize("seen_filter", ["cuckoo", "bloom"])
+def test_unsee_suppresses_everywhere(spark, corpus_1k, tmp_path, seen_filter):
+    eng, spec, seed_i = _engine(spark, corpus_1k, tmp_path, seen_filter=seen_filter)
+    eng.run_job("u1", C.url_of(seed_i, spec), 3)
+    before = _seen_rows(eng, "u1")
+    victims = _pick_victims(before)
+
+    res = eng.unsee_urls("u1", victims)
+    assert res["n_unseen"] == len(victims) and res["n_reseeded"] == 0
+    after = _seen_rows(eng, "u1")
+    assert sorted(u for _h, u, _d in before) == sorted(
+        [u for _h, u, _d in after] + victims
+    )
+
+    # idempotent: the gate is the (already suppressed) exact seen view
+    assert eng.unsee_urls("u1", victims)["n_unseen"] == 0
+    # unknown URLs are never tombstoned (cuckoo delete contract)
+    assert eng.unsee_urls("u1", ["https://crawl.test/nope/x"])["n_unseen"] == 0
+
+    # the PROBE view agrees with the DataFrame view: unseen URLs come back
+    # fresh, still-seen URLs stay filtered — this exercises the numpy
+    # bucket_seen suppression (and for bloom, the stale-positive rescue)
+    store = eng.store("u1")
+    still = [u for _h, u, _d in after][:3]
+    keyed = eng._with_keys(
+        spark.createDataFrame(pd.DataFrame({"url": victims + still}))
+    )
+    fresh, _ = eng._filter_new(store, keyed)
+    assert sorted(r["url"] for r in fresh.collect()) == sorted(victims)
+
+
+def test_cuckoo_blob_membership_deleted(spark, corpus_1k, tmp_path):
+    from distributed_web_crawler_spark.functions import cuckoo as CK
+    from distributed_web_crawler_spark.functions import urls as U
+
+    eng, spec, seed_i = _engine(spark, corpus_1k, tmp_path, seen_filter="cuckoo")
+    eng.run_job("u2", C.url_of(seed_i, spec), 3)
+    victims = _pick_victims(_seen_rows(eng, "u2"))
+    eng.unsee_urls("u2", victims)
+
+    store = eng.store("u2")
+    keyed = eng._with_keys(
+        spark.createDataFrame(pd.DataFrame({"url": victims}))
+    ).collect()
+    blobs = store.bloom_blobs()
+    import numpy as np
+
+    for row in keyed:
+        filt = CK.load_blobs(blobs[row["seen_bucket"]], eng.cfg.cuckoo)
+        assert not CK.contains(
+            filt, np.array([row["url_hash"]], dtype=np.int64), eng.cfg.cuckoo
+        )[0]
+
+
+@pytest.mark.parametrize("seen_filter", ["cuckoo", "bloom"])
+def test_unsee_reseed_recrawls_at_original_depths(spark, corpus_1k, tmp_path, seen_filter):
+    eng, spec, seed_i = _engine(spark, corpus_1k, tmp_path, seen_filter=seen_filter)
+    seed = C.url_of(seed_i, spec)
+    eng.run_job("u3", seed, 3)
+    before = _seen_rows(eng, "u3")
+    payload_before = eng.client_payload("u3", 3)
+    victims = _pick_victims(before)
+
+    res = eng.unsee_urls("u3", victims, reseed=True)
+    assert res["n_unseen"] == len(victims) == res["n_reseeded"]
+    # atomic round: tombstone + reseed committed together; the reseed delta
+    # survives its own round's tombstone (strict t > c rule), so the seen
+    # URL SET is already restored before any drain...
+    assert sorted(u for _h, u, _d in _seen_rows(eng, "u3")) == sorted(
+        u for _h, u, _d in before
+    )
+    # ...and the resume drains the reseeded frontier back to a fixpoint
+    summary = eng.run_job("u3", seed, 3)
+    assert summary["done"]
+    # depth structure is PRESERVED (reseed at original depths): the full
+    # (hash, url, depth) row set matches the original crawl exactly
+    assert _seen_rows(eng, "u3") == before
+    assert eng.client_payload("u3", 3) == payload_before
+
+
+def test_compaction_folds_tombstones_and_vacuum_reclaims(spark, corpus_1k, tmp_path):
+    eng, spec, seed_i = _engine(spark, corpus_1k, tmp_path, seen_filter="cuckoo")
+    eng.run_job("u4", C.url_of(seed_i, spec), 3)
+    victims = _pick_victims(_seen_rows(eng, "u4"))
+    eng.unsee_urls("u4", victims)
+    store = eng.store("u4")
+    suppressed = _seen_rows(eng, "u4")
+    assert len(store.tombstone_components()) == 1
+
+    res = eng.compact_seen("u4")
+    assert res["compacted"]
+    # physically folded: the delete files no longer participate in reads
+    assert store.tombstone_components() == []
+    assert _seen_rows(eng, "u4") == suppressed
+
+    stats = store.vacuum(staging_age_s=0.0)
+    assert stats["covered_tombstones"] == 1
+    assert _seen_rows(eng, "u4") == suppressed
+
+    # a single-component store WITH live tombstones still compacts (the
+    # early-return guard must not strand delete files forever)
+    eng.compact_seen("u4")
+    victims2 = _pick_victims(_seen_rows(eng, "u4"))
+    eng.unsee_urls("u4", victims2)
+    assert len(store.seen_paths()) == 1 and store.tombstone_components()
+    assert eng.compact_seen("u4")["compacted"]
+    assert store.tombstone_components() == []
+
+
+def test_service_recrawl_refreshes_cache(spark, corpus_1k, tmp_path):
+    spec, path = corpus_1k
+    wh = str(tmp_path / "wh")
+    eng = FrontierEngine(
+        spark, wh, path, spec,
+        EngineConfig(use_bloom=True, seen_buckets=8, seen_filter="cuckoo"),
+    )
+    svc = CrawlService(engine=eng, ledger=JobLedger(wh), cache=JobCache(wh))
+    seed_i = next(i for i in range(spec.n) if len(C.out_links(i, spec)) >= 3)
+    seed = C.url_of(seed_i, spec)
+    svc.submit("J1", "c1", seed, 3, now=1000.0)
+
+    with pytest.raises(ValueError):
+        svc.recrawl("J1", [seed])  # not completed yet
+
+    first = svc.run_next(owner="m1", now=1000.0)
+    assert first["done"] and not first["from_cache"]
+
+    victims = _pick_victims(_seen_rows(eng, "J1"))
+    out = svc.recrawl("J1", victims, now=2000.0)
+    assert out["done"] and out["n_unseen"] == len(victims)
+    # the recrawl's payload equals the original (same URLs, same depths)
+    # and the cache entry was force-refreshed with it
+    assert out["results"] == first["results"]
+    assert svc.cache.get(seed, 3, now=2500.0) == first["results"]

@@ -49,6 +49,7 @@ def test_vacuum_preserves_results_and_resume(spark, corpus_1k, tmp_path):
         "stale_deferred": 0,
         "stale_compacts": 0,
         "compacted_deltas": 0,
+        "covered_tombstones": 0,
     }
 
 
