@@ -790,6 +790,8 @@ class FrontierEngine:
         store.abort_round(last + 1)  # crash cleanup, same as resume
         r = last + 1
         url_list = [urls] if isinstance(urls, str) else list(urls)
+        if not url_list:
+            return {"round": last, "n_unseen": 0, "n_reseeded": 0}
         cand = self.spark.createDataFrame(pd.DataFrame({"url": url_list})).dropDuplicates(["url"])
         cand = self._with_keys(cand).withColumn("host", U.host_of(F.col("url")))
         # candidate buckets bound the seen scan (PartitionFilter-pruned);
