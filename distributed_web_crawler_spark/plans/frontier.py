@@ -1280,6 +1280,80 @@ class FrontierEngine:
             F.lit(job_id).alias("job_id"), F.col("depth"), F.col("url")
         )
 
+    def seen_changes(self, job_id: str, from_round: int = -1) -> DataFrame:
+        """Incremental changelog of the seen table SINCE `from_round`
+        (exclusive) — the Iceberg incremental-read / changelog-scan analog
+        over the crawl's main data table, and the batch counterpart of the
+        reference's per-job DoneJob result push (websocketserver S6): a
+        downstream consumer (e.g. a training-data pipeline ingesting crawl
+        output) re-reads only the rounds it has not seen, never the table.
+
+        Rows are `(url_hash, url, depth, seen_bucket, round, change_type)`
+        with change_type `insert` (a round's new/ delta: seed, crawl
+        discoveries, or reseeds) or `delete` (a round's tombstones from
+        unsee_urls). Within one round a consumer must apply deletes BEFORE
+        inserts — the atomic unsee+reseed round emits both for the same
+        URL, and the engine's own suppression rule is strict (a tombstone
+        kills only strictly-older rows), so delete-then-insert replays to
+        the same state. Folding the full changelog from round -1
+        reproduces seen_df exactly (tests pin this).
+
+        History expires like any Iceberg changelog: once compact_seen has
+        folded a round and vacuum() has swept its files, reading a range
+        that needs that round raises — start from a later round instead
+        (mirrors catalog/changes.py's expired-start contract)."""
+        store = self.store(job_id)
+        last = store.last_committed()
+        schema = "url_hash long, url string, depth int, seen_bucket int"
+        out_schema = schema + ", round int, change_type string"
+        if last is None:
+            return self.spark.createDataFrame([], out_schema)
+        if from_round > last:
+            raise ValueError(
+                f"seen_changes: from_round {from_round} is beyond the newest "
+                f"committed round {last}"
+            )
+
+        def read(path: str, r: int, kind: str) -> DataFrame:
+            return (
+                self.spark.read.schema(schema).parquet(path)
+                .withColumn("round", F.lit(r))
+                .withColumn("change_type", F.lit(kind))
+            )
+
+        parts = []
+        for r in store.committed_rounds():
+            if r <= from_round:
+                continue
+            info = store.read_commit(r)
+            # inserted seen rows this round: crawl discoveries (n_new),
+            # reseeds, or the seed batch itself (round 0's pending count —
+            # the seed write is both frontier and seen delta)
+            n_ins = info.get("n_new", 0) + info.get("reseed", 0)
+            if r == 0:
+                n_ins = info.get("n_pending_after", 0)
+            if n_ins > 0:
+                p = store.seen_delta_path(r)
+                if not os.path.isdir(p):
+                    raise ValueError(
+                        f"seen_changes: round {r}'s insert files have expired "
+                        "(compacted and vacuumed) — start from a later round"
+                    )
+                parts.append(read(p, r, "insert"))
+            if info.get("tombstone", 0) > 0:
+                p = store.tombstones_path(r)
+                if not os.path.isdir(p):
+                    raise ValueError(
+                        f"seen_changes: round {r}'s delete files have expired "
+                        "(compacted and vacuumed) — start from a later round"
+                    )
+                parts.append(read(p, r, "delete"))
+        if not parts:
+            return self.spark.createDataFrame([], out_schema)
+        from functools import reduce
+
+        return reduce(DataFrame.unionByName, parts)
+
     def metrics_df(self, job_id: str) -> DataFrame:
         paths = self.store(job_id).metrics_paths()
         return self.spark.read.parquet(*paths)

@@ -81,6 +81,19 @@ def test_unsee_suppresses_everywhere(spark, corpus_1k, tmp_path, seen_filter):
     fresh, _ = eng._filter_new(store, keyed)
     assert sorted(r["url"] for r in fresh.collect()) == sorted(victims)
 
+    # physical plan: the merge-on-read suppression must BROADCAST the
+    # delete side into a LeftAnti hash join — at 10^10 rows a shuffled
+    # anti-join would move the whole seen table for a recrawl-list edit
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        eng.seen_df("u1").explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
 
 def test_cuckoo_blob_membership_deleted(spark, corpus_1k, tmp_path):
     from distributed_web_crawler_spark.functions import cuckoo as CK
@@ -158,6 +171,55 @@ def test_compaction_folds_tombstones_and_vacuum_reclaims(spark, corpus_1k, tmp_p
     assert len(store.seen_paths()) == 1 and store.tombstone_components()
     assert eng.compact_seen("u4")["compacted"]
     assert store.tombstone_components() == []
+
+
+def _fold_changes(rows, state=None):
+    """Consumer contract: rounds ascending, deletes before inserts."""
+    state = dict(state or {})
+    by_round = {}
+    for r in rows:
+        by_round.setdefault(r["round"], []).append(r)
+    for rnd in sorted(by_round):
+        for row in by_round[rnd]:
+            if row["change_type"] == "delete":
+                state.pop(row["url"], None)
+        for row in by_round[rnd]:
+            if row["change_type"] == "insert":
+                state[row["url"]] = row["depth"]
+    return state
+
+
+def test_seen_changes_changelog(spark, corpus_1k, tmp_path):
+    eng, spec, seed_i = _engine(spark, corpus_1k, tmp_path, seen_filter="cuckoo")
+    seed = C.url_of(seed_i, spec)
+    eng.run_job("u5", seed, 3)
+    victims = _pick_victims(_seen_rows(eng, "u5"))
+    eng.unsee_urls("u5", victims[:2])  # delete-only round
+    store = eng.store("u5")
+    ckpt_round = store.last_committed()
+    ckpt_state = {r["url"]: r["depth"] for r in eng.seen_df("u5").collect()}
+    eng.unsee_urls("u5", [victims[2]], reseed=True)  # delete+insert round
+    eng.run_job("u5", seed, 3)
+
+    final = {r["url"]: r["depth"] for r in eng.seen_df("u5").collect()}
+    # folding the FULL changelog reproduces the live view exactly
+    assert _fold_changes(eng.seen_changes("u5").collect()) == final
+    # incremental: fold only the rounds after the checkpoint onto the
+    # checkpointed state — same result (the Iceberg incremental-read use)
+    inc = eng.seen_changes("u5", from_round=ckpt_round).collect()
+    assert {r["round"] for r in inc} and min(r["round"] for r in inc) > ckpt_round
+    assert _fold_changes(inc, ckpt_state) == final
+
+    with pytest.raises(ValueError, match="beyond the newest"):
+        eng.seen_changes("u5", from_round=store.last_committed() + 1)
+
+    # expiry contract: once compaction folds history and vacuum sweeps the
+    # files, a range that needs them raises; a post-compaction start works
+    eng.compact_seen("u5")
+    store.vacuum(staging_age_s=0.0)
+    with pytest.raises(ValueError, match="expired"):
+        eng.seen_changes("u5").collect()
+    assert eng.seen_changes("u5", from_round=store.last_committed()).count() == 0
 
 
 def test_service_recrawl_refreshes_cache(spark, corpus_1k, tmp_path):
