@@ -173,6 +173,44 @@ def test_compaction_folds_tombstones_and_vacuum_reclaims(spark, corpus_1k, tmp_p
     assert store.tombstone_components() == []
 
 
+def test_unsee_crash_before_commit_is_swept(spark, corpus_1k, tmp_path):
+    """A death between the tombstone/reseed staging writes and commit_round
+    leaves an uncommitted round dir; the next unsee (or resume) must sweep
+    it via abort_round and redo the operation cleanly — the same crash
+    contract as a crawl round."""
+    import os
+
+    eng, spec, seed_i = _engine(spark, corpus_1k, tmp_path, seen_filter="cuckoo")
+    eng.run_job("u6", C.url_of(seed_i, spec), 3)
+    before = _seen_rows(eng, "u6")
+    victims = _pick_victims(before)
+    store = eng.store("u6")
+    r = store.last_committed() + 1
+
+    # simulate the crash: staged tombstone files exist, no commit.json
+    # (build the staged write exactly like unsee_urls would)
+    from pyspark.sql import functions as F
+
+    seen = eng._seen_df(store)
+    tomb = (
+        eng._with_keys(spark.createDataFrame(pd.DataFrame({"url": victims})))
+        .join(seen.select("url_hash", "depth"), "url_hash", "inner")
+        .withColumn("host", F.lit("h"))
+        .select("url", "host", "url_hash", "seen_bucket", "depth")
+    )
+    eng._write_bucketed(store, store.tombstones_path(r), tomb)
+    assert os.path.isdir(store.tombstones_path(r))
+    assert store.last_committed() == r - 1  # nothing committed
+    # uncommitted staging must NOT suppress anything
+    assert _seen_rows(eng, "u6") == before
+
+    res = eng.unsee_urls("u6", victims)  # sweeps the crashed dir, redoes
+    assert res["round"] == r and res["n_unseen"] == len(victims)
+    assert sorted(u for _h, u, _d in _seen_rows(eng, "u6")) == sorted(
+        set(u for _h, u, _d in before) - set(victims)
+    )
+
+
 def _fold_changes(rows, state=None):
     """Consumer contract: rounds ascending, deletes before inserts."""
     state = dict(state or {})
