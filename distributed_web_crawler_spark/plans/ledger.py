@@ -297,6 +297,26 @@ class JobLedger:
 
         self._t.mutate(fn)
 
+    def reopen(self, job_id: str, owner: str, now: Optional[float] = None) -> bool:
+        """CAS a COMPLETED job back to running for a targeted recrawl —
+        returns False unless the job is currently done, so two masters
+        cannot recrawl one job concurrently (the same exclusion acquire
+        gives fresh jobs). A recrawl that dies mid-drain leaves the job
+        running with a stale assigned_at: the W2 timeout reassignment
+        path hands it to another master, whose resume drains the already-
+        committed reseeded frontier to completion."""
+        now = time.time() if now is None else now
+
+        def fn(df):
+            m = (df["job_id"] == job_id) & (df["state"] == "done")
+            if not m.any():
+                return None, False
+            u = df.loc[m].copy()
+            u["state"], u["owner"], u["assigned_at"] = "running", owner, now
+            return Delta(ups=u), True
+
+        return self._t.mutate(fn)
+
     def get(self, job_id: str) -> Optional[dict]:
         df = self._t.read()
         m = df[df["job_id"] == job_id]
@@ -450,22 +470,28 @@ class CrawlService:
         self._publish(job_id, payload)
         return {**summary, "from_cache": False, "results": payload}
 
-    def recrawl(self, job_id: str, urls, now=None) -> dict:
+    def recrawl(self, job_id: str, urls, owner: str = "m1", now=None) -> dict:
         """Re-crawl specific URLs of a COMPLETED job: tombstone them out of
         the seen set and reseed them (engine.unsee_urls), drain the reseeded
         frontier through the normal resume path, then force-refresh the
         cache and re-publish. This is the surgical version of the
         reference's only refresh mechanism — waiting for the Redis TTL to
         expire the whole seed's entry (RedisCache/cache.go:55-72) and
-        re-crawling everything."""
+        re-crawling everything. Ownership: the CAS reopen excludes
+        concurrent recrawls of one job across masters; a mid-drain death
+        leaves the job running for the W2 timeout-reassignment resume."""
+        if not self.ledger.reopen(job_id, owner, now=now):
+            raise ValueError(
+                f"recrawl: job {job_id!r} is not a completed job (or another "
+                "master is already recrawling it)"
+            )
         job = self.ledger.get(job_id)
-        if job is None or job.get("state") != "done":
-            raise ValueError(f"recrawl: job {job_id!r} is not a completed job")
         seed_url, depth = job["seed_url"], int(job["depth"])
         un = self.engine.unsee_urls(job_id, urls, reseed=True)
         summary = self.engine.run_job(job_id, seed_url, depth)
         payload = self.engine.client_payload(job_id, depth)
         self.cache.invalidate(seed_url)
         self.cache.put_if_deeper(seed_url, depth, payload, now=now)
+        self.ledger.complete(job_id)
         self._publish(job_id, payload)
         return {**summary, **un, "results": payload}

@@ -285,3 +285,10 @@ def test_service_recrawl_refreshes_cache(spark, corpus_1k, tmp_path):
     # and the cache entry was force-refreshed with it
     assert out["results"] == first["results"]
     assert svc.cache.get(seed, 3, now=2500.0) == first["results"]
+    # ownership: the job returns to done, and a job a second master has
+    # already reopened is excluded from concurrent recrawl (CAS reopen)
+    assert svc.ledger.get("J1")["state"] == "done"
+    assert svc.ledger.reopen("J1", "m2", now=3000.0)
+    with pytest.raises(ValueError, match="already recrawling|not a completed"):
+        svc.recrawl("J1", victims, owner="m3", now=3000.0)
+    svc.ledger.complete("J1")
