@@ -10,6 +10,8 @@ Env:
   BENCH_ONLY          'crawl' | 'queries' (default: both)
   BENCH_CRAWL_N       corpus pages for the crawl bench (default 200000)
   BENCH_CRAWL_SEEDS   frontier seed count (default 20000)
+  BENCH_PIPELINE_VERIFY  '1' (default) overlap round r's verify with round
+                      r+1's compute; '0' verify synchronously per round
 
 The crawl bench is the headline (BASELINE.json metric: frontier-drain
 throughput, URLs fetched+deduped/sec): drain a multi-seed frontier to
@@ -72,8 +74,10 @@ def _one_crawl_trial(spark, spec, corpus_path):
             use_bloom=True, verify_payloads=True, detailed_metrics=False,
             # verify is the drain's longest phase: overlap round r's verify
             # with round r+1's compute (every row still verified; stats in
-            # the per-round verify.json sidecar)
-            pipeline_verify=True,
+            # the per-round verify.json sidecar). Since the r7 probe fusion
+            # the fused round job is efficient enough that the overlap can
+            # CONTEND instead of hide — A/B both modes via the env knob.
+            pipeline_verify=os.environ.get("BENCH_PIPELINE_VERIFY", "1") != "0",
         ),
     )
     seeds = sorted({url_of(xxh64(f"bench:seed:{j}") % spec.n, spec) for j in range(CRAWL_SEEDS)})
