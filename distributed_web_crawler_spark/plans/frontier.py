@@ -806,9 +806,39 @@ class FrontierEngine:
         tomb = cand.join(seen.select("url_hash", "depth"), "url_hash", "inner").select(
             "url", "host", "url_hash", "seen_bucket", "depth"
         )
+        return self._unsee_frame(store, r, tomb, reseed)
+
+    def unsee_matching(self, job_id: str, predicate, reseed: bool = False) -> dict:
+        """Predicate form of unsee_urls — `DELETE FROM seen WHERE ...`, the
+        Iceberg row-level-DML analog for deletes too big to ship as a URL
+        list (recrawl a whole host, an entire depth, a URL prefix). The
+        predicate (SQL string or Column over url/url_hash/depth/
+        seen_bucket) is evaluated over the suppressed seen view, so the
+        candidates are exact seen rows by construction (the cuckoo delete
+        contract holds with no gate join); everything downstream — the
+        tombstone round, filter-blob handling, atomic reseed at original
+        depths — is shared with unsee_urls. One full seen scan, one pass:
+        a maintenance-op cost profile, same as compact_seen."""
+        store = self.store(job_id)
+        last = store.last_committed()
+        if last is None:
+            raise ValueError(f"unsee_matching: job {job_id!r} has no committed rounds")
+        store.abort_round(last + 1)
+        seen = self._seen_df(store)
+        if seen is None:
+            raise ValueError(f"unsee_matching: job {job_id!r} has an empty seen set")
+        expr = F.expr(predicate) if isinstance(predicate, str) else predicate
+        tomb = seen.filter(expr).withColumn("host", U.host_of(F.col("url"))).select(
+            "url", "host", "url_hash", "seen_bucket", "depth"
+        )
+        return self._unsee_frame(store, last + 1, tomb, reseed)
+
+    def _unsee_frame(self, store: JobStateStore, r: int, tomb: DataFrame, reseed: bool) -> dict:
+        """Shared tombstone+reseed commit path; `tomb` must hold exact
+        current seen rows (url, host, url_hash, seen_bucket, depth)."""
         if reseed:
             tomb = tomb.persist()  # shared by the tombstone and reseed writes
-        prev = store.read_commit(last)
+        prev = store.read_commit(r - 1)
         # filter blob plan: without reseed, the cuckoo arm rewrites the
         # touched buckets' blobs with the hashes exactly deleted (bloom
         # cannot delete — its stale bits are rescued by the exact re-check).

@@ -173,6 +173,39 @@ def test_compaction_folds_tombstones_and_vacuum_reclaims(spark, corpus_1k, tmp_p
     assert store.tombstone_components() == []
 
 
+def test_unsee_matching_predicate_delete(spark, corpus_1k, tmp_path):
+    """DELETE FROM seen WHERE ... — predicate deletes evaluated over the
+    suppressed view, with the same atomic reseed path. Host-granularity
+    recrawl is the target scenario (a host's content changed)."""
+    eng, spec, seed_i = _engine(spark, corpus_1k, tmp_path, seen_filter="cuckoo")
+    seed = C.url_of(seed_i, spec)
+    eng.run_job("u7", seed, 3)
+    before = {(r["url"], r["depth"]) for r in eng.seen_df("u7").collect()}
+    # pick the host with the most non-seed rows
+    from collections import Counter
+
+    host_counts = Counter(
+        u.split("//", 1)[1].split("/", 1)[0] for u, d in before if d > 0
+    )
+    host, n_host = host_counts.most_common(1)[0]
+    pred = f"url LIKE 'http://{host}/%' AND depth > 0"
+
+    res = eng.unsee_matching("u7", pred)
+    assert res["n_unseen"] == n_host and res["n_reseeded"] == 0
+    left = {(r["url"], r["depth"]) for r in eng.seen_df("u7").collect()}
+    assert left == {(u, d) for u, d in before if not (u.startswith(f"http://{host}/") and d > 0)}
+    # idempotent over the suppressed view
+    assert eng.unsee_matching("u7", pred)["n_unseen"] == 0
+
+    # predicate unsee with reseed on a second job: full fixpoint restore
+    eng.run_job("u8", seed, 3)
+    before8 = {(r["url"], r["depth"]) for r in eng.seen_df("u8").collect()}
+    res = eng.unsee_matching("u8", pred, reseed=True)
+    assert res["n_unseen"] == n_host == res["n_reseeded"]
+    assert eng.run_job("u8", seed, 3)["done"]
+    assert {(r["url"], r["depth"]) for r in eng.seen_df("u8").collect()} == before8
+
+
 def test_unsee_crash_before_commit_is_swept(spark, corpus_1k, tmp_path):
     """A death between the tombstone/reseed staging writes and commit_round
     leaves an uncommitted round dir; the next unsee (or resume) must sweep
