@@ -12,6 +12,9 @@ Env:
   BENCH_CRAWL_SEEDS   frontier seed count (default 20000)
   BENCH_PIPELINE_VERIFY  '1' (default) overlap round r's verify with round
                       r+1's compute; '0' verify synchronously per round
+  BENCH_VERIFY_PAYLOADS  '1' (default) decode+verify payloads; '0' drain
+                      metadata only — isolates the Spark dataflow's scaling
+                      from the decode kernel's memory-bandwidth ceiling
 
 The crawl bench is the headline (BASELINE.json metric: frontier-drain
 throughput, URLs fetched+deduped/sec): drain a multi-seed frontier to
@@ -71,7 +74,8 @@ def _one_crawl_trial(spark, spec, corpus_path):
     eng = FrontierEngine(
         spark, wh, corpus_path, spec,
         EngineConfig(
-            use_bloom=True, verify_payloads=True, detailed_metrics=False,
+            use_bloom=True, detailed_metrics=False,
+            verify_payloads=os.environ.get("BENCH_VERIFY_PAYLOADS", "1") != "0",
             # verify is the drain's longest phase: overlap round r's verify
             # with round r+1's compute (every row still verified; stats in
             # the per-round verify.json sidecar). Since the r7 probe fusion
