@@ -293,6 +293,36 @@ def test_seen_changes_changelog(spark, corpus_1k, tmp_path):
     assert eng.seen_changes("u5", from_round=store.last_committed()).count() == 0
 
 
+def test_reseed_under_politeness_and_robots(spark, corpus_1k, tmp_path):
+    """The cursor-reset interplay: a reseed whose depth equals the old
+    drain cursor's depth must re-enter cleanly at sub-round 0 and
+    re-schedule politeness over the reseed slices (replaying the old
+    cursor verbatim would deadlock on the sub-round contiguity check).
+    Robots stays enforced on the reseed path."""
+    from distributed_web_crawler_spark.oracle.crawler import PolitenessPolicy, RobotsPolicy
+
+    spec, path = corpus_1k
+    eng = FrontierEngine(
+        spark, str(tmp_path / "wh"), path, spec,
+        EngineConfig(use_bloom=True, seen_buckets=8, seen_filter="cuckoo",
+                     politeness=PolitenessPolicy(), robots=RobotsPolicy()),
+    )
+    seed_i = next(i for i in range(spec.n) if len(C.out_links(i, spec)) >= 3)
+    seed = C.url_of(seed_i, spec)
+    eng.run_job("p1", seed, 3)
+    before = _seen_rows(eng, "p1")
+    final_depth = eng.store("p1").read_commit(
+        eng.store("p1").last_committed()
+    )["depth"]
+    # victims at the cursor's own depth — the deadlock-prone case
+    victims = [u for _h, u, d in before if d == final_depth][:3]
+    assert victims
+    res = eng.unsee_urls("p1", victims, reseed=True)
+    assert res["n_unseen"] == len(victims) == res["n_reseeded"]
+    assert eng.run_job("p1", seed, 3)["done"]
+    assert _seen_rows(eng, "p1") == before
+
+
 def test_service_recrawl_refreshes_cache(spark, corpus_1k, tmp_path):
     spec, path = corpus_1k
     wh = str(tmp_path / "wh")
