@@ -220,10 +220,20 @@ class FrontierEngine:
         # PartitionFilter
         from functools import reduce
 
-        schema = "url_hash long, url string, depth int, seen_bucket int"
+        # seen_round = the row's DISCOVERY round, retained through
+        # compaction (delta files imply it from their component round; the
+        # compacted table persists the column — compact_seen writes this
+        # exact view). It powers aged/TTL recrawl:
+        # unsee_matching("seen_round <= k") re-crawls everything discovered
+        # up to round k (round→time via commit-file mtimes). Pre-column
+        # compactions read NULL → coalesce to the compaction's upto — a
+        # conservative (newer-looking) migration default.
+        schema = "url_hash long, url string, depth int, seen_bucket int, seen_round int"
 
-        def read(p: str, cols: Optional[List[str]] = None) -> DataFrame:
-            df = self.spark.read.schema(schema).parquet(p)
+        def read(p: str, c: int, cols: Optional[List[str]] = None) -> DataFrame:
+            df = self.spark.read.schema(schema).parquet(p).withColumn(
+                "seen_round", F.coalesce(F.col("seen_round"), F.lit(c)).cast("int")
+            )
             if buckets is not None:
                 df = df.filter(F.col("seen_bucket").isin(buckets))
             return df.select(*cols) if cols else df
@@ -231,11 +241,12 @@ class FrontierEngine:
         tombs = store.tombstone_components()
         parts = []
         for c, p in comps:
-            df = read(p)
+            df = read(p, c)
             kill_paths = [tp for t, tp in tombs if t > c]
             if kill_paths:
                 kill = reduce(
-                    DataFrame.unionByName, [read(tp, ["url_hash"]) for tp in kill_paths]
+                    DataFrame.unionByName,
+                    [read(tp, c, ["url_hash"]) for tp in kill_paths],
                 )
                 # unsee batches are recrawl lists — orders of magnitude below
                 # the seen table; the anti-join must never shuffle the seen
@@ -1300,7 +1311,9 @@ class FrontierEngine:
         store = self.store(job_id)
         df = self._seen_df(store)
         if df is None:
-            return self.spark.createDataFrame([], "url_hash long, url string, depth int, seen_bucket int")
+            return self.spark.createDataFrame(
+                [], "url_hash long, url string, depth int, seen_bucket int, seen_round int"
+            )
         return df
 
     def results_df(self, job_id: str) -> DataFrame:

@@ -293,6 +293,44 @@ def test_seen_changes_changelog(spark, corpus_1k, tmp_path):
     assert eng.seen_changes("u5", from_round=store.last_committed()).count() == 0
 
 
+def test_seen_round_retention_and_aged_recrawl(spark, corpus_1k, tmp_path):
+    """Every seen row carries its DISCOVERY round (`seen_round`),
+    cross-checked against the changelog's insert rounds, retained through
+    compaction+vacuum (not collapsed to the compaction's upto) — the
+    column that makes aged/TTL recrawl a predicate delete."""
+    eng, spec, seed_i = _engine(spark, corpus_1k, tmp_path, seen_filter="cuckoo")
+    seed = C.url_of(seed_i, spec)
+    eng.run_job("a1", seed, 3)
+
+    # changelog inserts ARE the discovery rounds — the two views must agree
+    expect = {
+        r["url"]: r["round"]
+        for r in eng.seen_changes("a1").collect()
+        if r["change_type"] == "insert"
+    }
+    live = {r["url"]: r["seen_round"] for r in eng.seen_df("a1").collect()}
+    assert live == expect and len(set(live.values())) > 1
+
+    # compaction + vacuum must RETAIN per-row rounds (the folded table
+    # persists the column; only pre-column stores coalesce to upto)
+    eng.compact_seen("a1")
+    eng.store("a1").vacuum(staging_age_s=0.0)
+    assert {r["url"]: r["seen_round"] for r in eng.seen_df("a1").collect()} == expect
+
+    # aged recrawl: everything discovered in the first rounds re-crawls
+    # as one predicate delete; fixpoint restored after the drain
+    cutoff = min(expect.values())
+    n_old = sum(1 for v in expect.values() if v <= cutoff)
+    before = _seen_rows(eng, "a1")
+    res = eng.unsee_matching("a1", f"seen_round <= {cutoff}", reseed=True)
+    assert res["n_unseen"] == n_old == res["n_reseeded"]
+    assert eng.run_job("a1", seed, 3)["done"]
+    assert _seen_rows(eng, "a1") == before
+    # the re-crawled rows now carry their NEW discovery round
+    new_rounds = {r["url"]: r["seen_round"] for r in eng.seen_df("a1").collect()}
+    assert all(new_rounds[u] > cutoff for u, v in expect.items() if v <= cutoff)
+
+
 def test_reseed_under_politeness_and_robots(spark, corpus_1k, tmp_path):
     """The cursor-reset interplay: a reseed whose depth equals the old
     drain cursor's depth must re-enter cleanly at sub-round 0 and
