@@ -791,7 +791,14 @@ class FrontierEngine:
         tombstone+reseed together — never URLs unseen but lost (a two-round
         layout would strand them, because re-running unsee gates on the
         seen set the crash already shrank). Returns
-        {"round": r, "n_unseen": n, "n_reseeded": m}."""
+        {"round": r, "n_unseen": n, "n_reseeded": m}.
+
+        Ownership contract: like run_job, this stages files into the next
+        round's directory, so the caller must hold the job (one master) —
+        the service path enforces it via ledger.reopen's CAS; two
+        uncoordinated writers racing one round dir could interleave
+        file-sets under a single commit. Same rule, same mechanism as
+        crawl rounds."""
         import pandas as pd
 
         store = self.store(job_id)
