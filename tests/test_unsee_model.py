@@ -63,6 +63,7 @@ def test_unsee_sequences_match_model(spark, corpus_1k, tmp_path, seed, seen_filt
     assert len(model) > 10
     rng = random.Random(seed)
     ops = []
+    vacuumed = False
     for _ in range(10):
         kind = rng.choice(["unsee", "unsee", "reseed", "reseed", "compact", "vacuum"])
         ops.append(kind)
@@ -90,7 +91,24 @@ def test_unsee_sequences_match_model(spark, corpus_1k, tmp_path, seed, seen_filt
             eng.compact_seen(job)
         else:
             eng.store(job).vacuum(staging_age_s=0.0)
+            vacuumed = True
         assert _engine_state(eng, job) == model, (ops, len(model))
+        if not vacuumed:
+            # the incremental changelog must fold to the live view after
+            # EVERY operation (valid until vacuum expires history)
+            rows = eng.seen_changes(job).collect()
+            folded: dict = {}
+            by_round: dict = {}
+            for row in rows:
+                by_round.setdefault(row["round"], []).append(row)
+            for rnd in sorted(by_round):
+                for row in by_round[rnd]:
+                    if row["change_type"] == "delete":
+                        folded.pop(row["url"], None)
+                for row in by_round[rnd]:
+                    if row["change_type"] == "insert":
+                        folded[row["url"]] = row["depth"]
+            assert folded == model, (ops, len(model))
 
     # end state: a full-table unsee empties the engine view exactly
     if model:
