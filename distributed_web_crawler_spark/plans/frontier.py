@@ -212,7 +212,20 @@ class FrontierEngine:
         < t only, so a re-add AFTER the unsee (reseed, or natural
         re-discovery) survives. compact_seen materializes this exact view,
         after which the delete files are dead (vacuum sweeps them)."""
-        comps = store.seen_components()
+        return self._seen_view(
+            store.seen_components(), store.tombstone_components(), buckets
+        )
+
+    def _seen_view(
+        self,
+        comps: List[tuple],
+        tombs: List[tuple],
+        buckets: Optional[List[int]] = None,
+    ) -> Optional[DataFrame]:
+        """Merge-on-read builder shared by the live view (_seen_df) and
+        time travel (seen_df_at): union the given (round, path) components,
+        suppress with the given (round, path) tombstones under the strict
+        t > c rule."""
         if not comps:
             return None
         # each delta is its own partitioned root (union, not multi-path read);
@@ -238,7 +251,6 @@ class FrontierEngine:
                 df = df.filter(F.col("seen_bucket").isin(buckets))
             return df.select(*cols) if cols else df
 
-        tombs = store.tombstone_components()
         parts = []
         for c, p in comps:
             df = read(p, c)
@@ -1317,6 +1329,69 @@ class FrontierEngine:
     def seen_df(self, job_id: str) -> DataFrame:
         store = self.store(job_id)
         df = self._seen_df(store)
+        if df is None:
+            return self.spark.createDataFrame(
+                [], "url_hash long, url string, depth int, seen_bucket int, seen_round int"
+            )
+        return df
+
+    def seen_df_at(self, job_id: str, r: int) -> DataFrame:
+        """Time-travel read — the seen table AS OF committed round `r`
+        (the Iceberg snapshot-read analog; every commit_round IS a
+        snapshot). Reconstructs the merge-on-read view from the round-r
+        prefix of history: components with effective round <= r,
+        suppressed by tombstones in rounds <= r under the same strict
+        t > c rule as the live view, so `seen_df_at(last_committed)`
+        equals `seen_df` row-for-row.
+
+        Snapshot retention follows the files: a snapshot stays readable
+        while its rounds' file-sets exist — compaction alone does NOT
+        expire it (the covered deltas stay on disk until vacuum), but
+        once vacuum() sweeps a needed round this raises, exactly
+        Iceberg's expire-snapshots semantics (and the same contract as
+        seen_changes / catalog CDC)."""
+        store = self.store(job_id)
+        last = store.last_committed()
+        if last is None or not (0 <= r <= last):
+            raise ValueError(
+                f"seen_df_at: round {r} is not a committed round of job "
+                f"{job_id!r} (last committed: {last})"
+            )
+        sc = store.read_seen_compact()
+        comps: List[tuple] = []
+        tombs: List[tuple] = []
+        lo = -1
+        if sc is not None and sc["upto"] <= r:
+            # the live compaction is a valid prefix of this snapshot: its
+            # rows and folded deletes all belong to rounds <= upto <= r
+            comps.append((sc["upto"], os.path.join(store.dir, sc["path"])))
+            lo = sc["upto"]
+        for rr in store.committed_rounds():
+            if rr > r:
+                break
+            if rr <= lo:
+                continue  # folded into the compaction prefix
+            info = store.read_commit(rr)
+            n_ins = info.get("n_new", 0) + info.get("reseed", 0)
+            if rr == 0:
+                n_ins = info.get("n_pending_after", 0)
+            if n_ins > 0:
+                p = store.seen_delta_path(rr)
+                if not os.path.isdir(p):
+                    raise ValueError(
+                        f"seen_df_at: snapshot at round {r} has expired — "
+                        f"round {rr}'s delta files were compacted and vacuumed"
+                    )
+                comps.append((rr, p))
+            if info.get("tombstone", 0) > 0:
+                p = store.tombstones_path(rr)
+                if not os.path.isdir(p):
+                    raise ValueError(
+                        f"seen_df_at: snapshot at round {r} has expired — "
+                        f"round {rr}'s delete files were vacuumed"
+                    )
+                tombs.append((rr, p))
+        df = self._seen_view(comps, tombs)
         if df is None:
             return self.spark.createDataFrame(
                 [], "url_hash long, url string, depth int, seen_bucket int, seen_round int"

@@ -293,6 +293,49 @@ def test_seen_changes_changelog(spark, corpus_1k, tmp_path):
     assert eng.seen_changes("u5", from_round=store.last_committed()).count() == 0
 
 
+def test_time_travel_snapshots(spark, corpus_1k, tmp_path):
+    """seen_df_at(r) — Iceberg snapshot reads: every committed round is a
+    readable snapshot; compaction alone never expires one (covered files
+    survive until vacuum); vacuum expires exactly the snapshots whose
+    rounds it swept, while the post-compaction snapshot stays readable."""
+    eng, spec, seed_i = _engine(spark, corpus_1k, tmp_path, seen_filter="cuckoo")
+    seed = C.url_of(seed_i, spec)
+    eng.run_job("tt", seed, 3)
+    store = eng.store("tt")
+    r_crawl = store.last_committed()
+    state_crawl = _seen_rows(eng, "tt")
+
+    victims = _pick_victims(state_crawl)
+    r_unsee = eng.unsee_urls("tt", victims[:2])["round"]
+    state_unsee = _seen_rows(eng, "tt")
+    eng.unsee_urls("tt", [victims[2]], reseed=True)
+    eng.run_job("tt", seed, 3)
+    r_last = store.last_committed()
+    state_final = _seen_rows(eng, "tt")
+
+    def snap(r):
+        return sorted(
+            (x["url_hash"], x["url"], x["depth"]) for x in eng.seen_df_at("tt", r).collect()
+        )
+
+    # every intermediate state is reconstructible from its snapshot
+    assert snap(r_crawl) == state_crawl
+    assert snap(r_unsee) == state_unsee
+    assert snap(r_last) == state_final
+    with pytest.raises(ValueError, match="not a committed round"):
+        eng.seen_df_at("tt", r_last + 1)
+
+    # compaction does not expire snapshots (files still on disk)...
+    eng.compact_seen("tt")
+    assert snap(r_crawl) == state_crawl and snap(r_unsee) == state_unsee
+    assert snap(r_last) == state_final
+    # ...vacuum does, except the ones the compaction prefix still serves
+    store.vacuum(staging_age_s=0.0)
+    assert snap(r_last) == state_final  # served by the compaction (upto == r_last)
+    with pytest.raises(ValueError, match="expired"):
+        eng.seen_df_at("tt", r_crawl).collect()
+
+
 def test_seen_round_retention_and_aged_recrawl(spark, corpus_1k, tmp_path):
     """Every seen row carries its DISCOVERY round (`seen_round`),
     cross-checked against the changelog's insert rounds, retained through
