@@ -147,6 +147,13 @@ class JobStateStore:
         info = dict(info)
         info["round"] = r
         info["bloom_manifest"] = manifest
+        # the seen-filter identity (kind/params/seen_buckets, written by
+        # the seed commit) inherits like the bloom manifest, so resume
+        # validation reads the LAST commit only — round 0 may be expired
+        if "seen_filter" not in info and prev is not None:
+            meta = self.read_commit(prev).get("seen_filter")
+            if meta is not None:
+                info["seen_filter"] = meta
         _atomic_write(self._commit_path(r), json.dumps(info).encode())
 
     def abort_round(self, r: int) -> None:

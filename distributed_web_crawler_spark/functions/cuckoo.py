@@ -217,11 +217,23 @@ def delete_hashes(filt: np.ndarray, hashes: np.ndarray, p: CuckooParams) -> np.n
     operation Bloom cannot do — TTL/re-crawl 'unsee'.
 
     Contract (the paper's §3.3): only delete keys that were actually
-    inserted. Deleting a never-inserted key whose (bucket, fingerprint)
-    pair collides with a stored key would remove THAT key's entry and
-    create a false negative — callers must gate deletion on the exact
-    seen table (the engine does: unsee candidates come from the seen
-    parquet, never from user input)."""
+    inserted, AND whose stored copy is not shared. Two hazards create
+    false negatives:
+
+    * deleting a never-inserted key whose (bucket, fingerprint) pair
+      collides with a stored key removes THAT key's entry;
+    * because add_hashes is set-semantic (one stored copy per distinct
+      (bucket, fp) — required by the chunked-blob entry merge in
+      load_blobs), two DISTINCT inserted keys colliding on (bucket, fp)
+      share one copy, and deleting either key strands the other. At a
+      10^10-key deployment with 16-bit fingerprints such collisions are
+      guaranteed.
+
+    The engine therefore never calls this on live data: unsee REBUILDS
+    the touched buckets' filters from the exact surviving seen rows
+    (plans/frontier.py _rebuild_filter_blobs), which is collision-proof
+    by construction. delete_hashes remains for callers that track key
+    multiplicity themselves."""
     h = np.asarray(hashes, dtype=np.int64)
     out = np.zeros(len(h), dtype=bool)
     hu, inv = np.unique(h, return_inverse=True)

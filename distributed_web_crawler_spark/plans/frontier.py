@@ -196,6 +196,49 @@ class FrontierEngine:
             raise ValueError(f"unknown seen_filter {self.cfg.seen_filter!r} (bloom|cuckoo)")
         return B, self.cfg.bloom
 
+    def _filter_meta(self) -> dict:
+        """The blob-layout identity of this engine's seen-filter config,
+        persisted in the seed commit and carried forward by commit_round.
+        A job's blob files are only interpretable under the config that
+        wrote them: a bloom bit array loaded as a cuckoo table (reshape
+        (-1, 4)) — or either filter read under different size params, or
+        the parquet layout read under a different seen_buckets — yields
+        garbage probe verdicts whose FALSE side is trusted as
+        definitely-new, i.e. silent duplicate crawling. use_bloom is part
+        of the identity too: a resume with the filter off stops folding
+        new hashes into the blobs, so re-enabling it later would probe
+        filters missing whole rounds (stale-MISSING = false negatives)."""
+        meta = {
+            "kind": self.cfg.seen_filter,
+            "seen_buckets": self.cfg.seen_buckets,
+            "use_bloom": self.cfg.use_bloom,
+        }
+        if self.cfg.seen_filter == "cuckoo":
+            meta["n_buckets_log2"] = self.cfg.cuckoo.n_buckets_log2
+        else:
+            meta["n_bits"] = self.cfg.bloom.n_bits
+            meta["n_hashes"] = self.cfg.bloom.n_hashes
+        return meta
+
+    def _check_filter_meta(self, info: dict) -> None:
+        """Raise on resuming/mutating a job store under a seen-filter
+        config other than the one that wrote it (ADVICE r7: a silent
+        bloom↔cuckoo swap reinterprets the blob bytes; false positives
+        are rescued by the exact re-check but false negatives duplicate
+        crawls with no error). Pre-r8 stores carry no metadata — accepted
+        as-is, the caller owns config continuity for those."""
+        stored = info.get("seen_filter")
+        if stored is None:
+            return
+        current = self._filter_meta()
+        if stored != current:
+            raise ValueError(
+                f"seen-filter config mismatch: job store was written under "
+                f"{stored}, engine configured with {current}; resume with "
+                "the original EngineConfig (filter kind, params, "
+                "seen_buckets, use_bloom) or start a fresh job"
+            )
+
     def _with_keys(self, df: DataFrame) -> DataFrame:
         url = U.canonicalize(F.col("url"))
         return (
@@ -295,7 +338,7 @@ class FrontierEngine:
         # len(seeds) bounds the write for free: a 10^10-scenario whole-
         # frontier seed batch must hit the same max_group_rows chunk guard
         # as round writes
-        stats = self._write_bucketed(
+        stats, _ = self._write_bucketed(
             store, store.new_path(0), df, bloom_round=0, approx_rows=len(seeds)
         )
         n = sum(s[1] for s in stats)
@@ -309,6 +352,7 @@ class FrontierEngine:
                 "n_pending_after": n,
                 "frontier_manifest": manifest,
                 "done": n == 0,
+                "seen_filter": self._filter_meta(),
             },
             touched_blooms=[s[0] for s in stats],
         )
@@ -442,8 +486,7 @@ class FrontierEngine:
     def _write_bucketed(
         self, store: JobStateStore, out_dir: str, rows: DataFrame, bloom_round: Optional[int] = None,
         slice_col: Optional[str] = None, approx_rows: Optional[int] = None,
-        blob_delete: bool = False,
-    ) -> List[tuple]:
+    ) -> tuple:
         """ONE shuffle, one pass: group rows by seen_bucket; each task writes
         its bucket's parquet part (hive layout, `seen_bucket=<b>/`) AND — for
         new-URL sets — folds the bucket's hashes into the Bloom blob, then
@@ -473,19 +516,19 @@ class FrontierEngine:
         layout) and one Bloom blob per chunk — each chunk's blob = previous
         filter | that chunk's bits, so the reader's OR over the files
         (bloom.load_blobs) reproduces the unchunked blob exactly and no
-        two tasks ever write one file."""
+        two tasks ever write one file.
+
+        Returns ``(stats, task_ms)``: the per-bucket stat tuples plus the
+        summed worker-side phase timers of THIS write job. The timers used
+        to be stashed on ``self.last_write_task_ms``, but the deferred-slice
+        write runs concurrently in a pool thread alongside the main write —
+        whichever finished last won the attribute and the bench's
+        write_conv/pq/bloom_ms phases could report the wrong job's numbers."""
         blobs = store.bloom_blobs() if (self.cfg.use_bloom and bloom_round is not None) else None
         FM, params = self._seen_filter()
         update_blooms = blobs is not None
         r = bloom_round
         chunks = 1
-        if blob_delete and approx_rows:
-            # chunked DELETE blobs would be unsound: each chunk's file would
-            # be `previous minus its own hashes` and the reader's entry-merge
-            # would re-insert hashes the OTHER chunk deleted. Unsee batches
-            # are recrawl lists (control-plane sized), so one task per bucket
-            # holds the batch's share comfortably.
-            approx_rows = None
         if approx_rows:
             per_bucket = approx_rows / max(1, self.cfg.seen_buckets)
             chunks = min(256, max(1, -(-int(per_bucket) // self.cfg.max_group_rows)))
@@ -541,14 +584,7 @@ class FrontierEngine:
             t_pq = _time.monotonic()
             if update_blooms:
                 filt = FM.load_blobs(blobs.get(bucket), params)
-                if blob_delete:
-                    # exact removal — cuckoo only (the bloom arm never sets
-                    # blob_delete: its stale positive bits are rescued by
-                    # the probe's exact re-check against the tombstone-
-                    # suppressed seen table)
-                    FM.delete_hashes(filt, pdf["url_hash"].to_numpy(), params)
-                else:
-                    FM.add_hashes(filt, pdf["url_hash"].to_numpy(), params)
+                FM.add_hashes(filt, pdf["url_hash"].to_numpy(), params)
                 FM.write_blob(store.bloom_blob_path(r, bucket, chunk), filt)
             t_bloom = _time.monotonic()
             # per-task phase timers ride back on the stats row (no extra job):
@@ -565,15 +601,15 @@ class FrontierEngine:
         stats = rows.groupBy(*keys).applyInPandas(
             build, schema="slice int, bucket int, n long, conv_ms long, pq_ms long, bloom_ms long"
         ).collect()
-        self.last_write_task_ms = {
+        task_ms = {
             "conv_ms": sum(row["conv_ms"] for row in stats),
             "pq_ms": sum(row["pq_ms"] for row in stats),
             "bloom_ms": sum(row["bloom_ms"] for row in stats),
             "n_tasks": len(stats),
         }
         if slice_col:
-            return [(row["slice"], row["bucket"], row["n"]) for row in stats]
-        return [(row["bucket"], row["n"]) for row in stats]
+            return [(row["slice"], row["bucket"], row["n"]) for row in stats], task_ms
+        return [(row["bucket"], row["n"]) for row in stats], task_ms
 
     # ------------------------------------------------------------ pipelined verify
     def _finalize_verify(self, store: JobStateStore) -> None:
@@ -771,6 +807,46 @@ class FrontierEngine:
         return {"compacted": flipped, "upto": last, "n_components": len(paths)}
 
     # ------------------------------------------------------------ unsee / recrawl
+    def _rebuild_filter_blobs(self, store: JobStateStore, r: int, buckets: List[int], tomb: DataFrame) -> None:
+        """Rebuild the touched buckets' cuckoo blobs from the post-delete
+        live seen set (stage into round r; the manifest flip at commit
+        publishes them, vacuum sweeps the superseded generations). One
+        task per bucket inserts that bucket's live hashes into a fresh
+        filter — the result contains every live hash by construction, so
+        no (bucket, fingerprint) collision between a deleted and a
+        surviving key can leave a false negative the way an in-place
+        delete could (functions/cuckoo.py delete_hashes contract).
+
+        Cost profile: O(live bucket share) per touched bucket — hashes
+        only (8 B/row; a 10^10 deployment's ~1M-row shard is an 8 MB
+        task). Same maintenance-op class as compact_seen, and strictly
+        bounded by the buckets the unsee batch actually touched. A
+        touched bucket whose live set became EMPTY writes no file;
+        load_blobs reads a missing path as the empty filter, which is the
+        correct verdict for an empty bucket."""
+        FM, params = self._seen_filter()
+        live = self._seen_df(store, buckets=buckets)
+        if live is None:
+            return
+        # round r's tombstones are staged but not committed, so the live
+        # view still shows the doomed rows; subtract them the same way the
+        # committed suppression will (url_hash equality, broadcast —
+        # unsee batches are recrawl-list sized)
+        live = live.join(F.broadcast(tomb.select("url_hash")), "url_hash", "left_anti")
+
+        def rebuild(key, pdf):
+            import pandas as pd
+
+            bucket = int(key[0])
+            filt = FM.empty_filter(params)
+            FM.add_hashes(filt, pdf["url_hash"].to_numpy(), params)
+            FM.write_blob(store.bloom_blob_path(r, bucket, 0), filt)
+            return pd.DataFrame({"bucket": [bucket], "n": [len(pdf)]})
+
+        live.select("seen_bucket", "url_hash").groupBy("seen_bucket").applyInPandas(
+            rebuild, schema="bucket int, n long"
+        ).collect()
+
     def unsee_urls(self, job_id: str, urls, reseed: bool = False) -> dict:
         """Remove URLs from the job's seen set — the re-crawl primitive.
         The reference's only forget path is Redis cache-TTL expiry
@@ -783,14 +859,14 @@ class FrontierEngine:
         vacuumed once covered. No seen component is rewritten.
 
         Candidates are gated on the EXACT seen table (inner join), never
-        trusted from user input — the cuckoo delete contract (deleting a
-        never-inserted key can evict a colliding key's fingerprint and
-        create a false negative, functions/cuckoo.py delete_hashes). With
-        the cuckoo filter the touched buckets' blobs are rewritten with the
-        hashes exactly deleted; with bloom (no deletion) the stale positive
-        bits stay and the probe's exact re-check against the suppressed
-        seen view rescues the URL as new — correct either way, cuckoo just
-        keeps the filter tight.
+        trusted from user input. With the cuckoo filter the touched
+        buckets' blobs are REBUILT from the surviving live rows
+        (_rebuild_filter_blobs — an in-place delete_hashes would
+        false-negative a live key sharing (bucket, fingerprint) with a
+        deleted one, functions/cuckoo.py delete_hashes contract); with
+        bloom (no deletion) the stale positive bits stay and the probe's
+        exact re-check against the suppressed seen view rescues the URL
+        as new — correct either way, cuckoo just keeps the filter tight.
 
         ``reseed=True`` re-enters the unseen URLs in the SAME committed
         round, at their ORIGINAL discovery depths (the tombstone rows carry
@@ -869,25 +945,31 @@ class FrontierEngine:
         if reseed:
             tomb = tomb.persist()  # shared by the tombstone and reseed writes
         prev = store.read_commit(r - 1)
-        # filter blob plan: without reseed, the cuckoo arm rewrites the
-        # touched buckets' blobs with the hashes exactly deleted (bloom
+        self._check_filter_meta(prev)
+        # filter blob plan: without reseed, the cuckoo arm REBUILDS the
+        # touched buckets' blobs from the post-delete live seen set (bloom
         # cannot delete — its stale bits are rescued by the exact re-check).
-        # WITH reseed, delete∘re-add is the identity on these hashes, so the
-        # tombstone write skips blob work entirely and the reseed write
-        # re-adds into the previous blobs (set semantics make it a no-op for
-        # hashes already present) — one blob write instead of two.
-        do_delete = (
+        # An in-place delete_hashes would be wrong here: inserts are
+        # set-semantic, so two distinct live hashes sharing (bucket, fp) —
+        # guaranteed to occur at 10^10 scale with 16-bit fingerprints —
+        # own ONE stored copy, and deleting either key would false-negative
+        # the other (ADVICE r7). Rebuilding from the exact live rows makes
+        # the filter ⊇ live by construction. WITH reseed, delete∘re-add is
+        # the identity on these hashes, so the tombstone write skips blob
+        # work entirely and the reseed write re-adds into the previous
+        # blobs (set semantics make it a no-op for hashes already present).
+        do_rebuild = (
             not reseed and self.cfg.seen_filter == "cuckoo" and self.cfg.use_bloom
         )
         touched: List[int] = []
         try:
-            stats = self._write_bucketed(
-                store, store.tombstones_path(r), tomb,
-                bloom_round=r if do_delete else None, blob_delete=do_delete,
+            stats, _ = self._write_bucketed(
+                store, store.tombstones_path(r), tomb, bloom_round=None,
             )
             n = sum(s[1] for s in stats)
-            if do_delete:
+            if do_rebuild and n > 0:
                 touched = sorted({s[0] for s in stats})
+                self._rebuild_filter_blobs(store, r, touched, tomb)
             # replay the crawl cursor unchanged: the loop's depth/sub-round
             # arithmetic sees the same state it would without this round
             manifest = list(prev["frontier_manifest"])
@@ -902,11 +984,11 @@ class FrontierEngine:
                 # file-set PER DEPTH because manifest entries are
                 # single-depth; the politeness scheduler already committed
                 # this slice layout). Both are tiny — recrawl-list sized.
-                rs_stats = self._write_bucketed(
+                rs_stats, _ = self._write_bucketed(
                     store, store.new_path(r), rs, bloom_round=r, approx_rows=n
                 )
                 touched = sorted(set(touched) | {s[0] for s in rs_stats})
-                fr_stats = self._write_bucketed(
+                fr_stats, _ = self._write_bucketed(
                     store, store.deferred_path(r),
                     rs.withColumn("due", F.col("depth")), None,
                     slice_col="due", approx_rows=n,
@@ -975,6 +1057,7 @@ class FrontierEngine:
         else:
             store.abort_round(last + 1)  # crash cleanup: drop uncommitted staging
         info = store.read_commit(last)
+        self._check_filter_meta(info)
         depth_limit = info.get("depth_limit", depth)
         rounds_done = 0
 
@@ -1176,20 +1259,22 @@ class FrontierEngine:
                 # upper bound on the write's row count (new <= candidates <=
                 # admitted × max out-degree): over-estimating only shrinks the
                 # chunked groups, never breaks the memory guard
-                stats = self._write_bucketed(
+                stats, write_task_ms = self._write_bucketed(
                     store, store.new_path(r), new_rows, bloom_round=r,
                     approx_rows=n_admitted * C.MAX_OUT_DEGREE,
                 )
                 touched = sorted({s[0] for s in stats})
                 n_new = sum(s[1] for s in stats)
-                # worker-side breakdown of the write job (summed across its
+                # worker-side breakdown of THIS write job (summed across its
                 # tasks): lets the bench attribute writes_ms to Arrow
-                # conversion / parquet encode / bloom fold vs shuffle+sched
-                for k, v in getattr(self, "last_write_task_ms", {}).items():
+                # conversion / parquet encode / bloom fold vs shuffle+sched.
+                # Returned with the stats (not an instance attribute) so the
+                # concurrent deferred-slice write can't clobber it.
+                for k, v in write_task_ms.items():
                     phases[f"write_{k}"] = v
             sched_entries: List[list] = []
             if deferred_future is not None:
-                def_stats = deferred_future.result()
+                def_stats, _ = deferred_future.result()
                 n_def_written = sum(s[2] for s in def_stats)
                 # self-check: the manifest records arithmetic (pending - admitted);
                 # the write stats come back for free — any divergence (e.g. a

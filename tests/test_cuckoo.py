@@ -159,3 +159,35 @@ def test_engine_rejects_unknown_filter(spark, corpus_1k, tmp_path):
     )
     with pytest.raises(ValueError, match="xor"):
         eng._seen_filter()
+
+
+def test_shared_fingerprint_delete_hazard_and_rebuild_fix():
+    """Two DISTINCT keys that collide on (bucket, fingerprint) share ONE
+    stored copy (set-semantic insert — required by the chunked-blob entry
+    merge), so an in-place delete of either key false-negatives the other.
+    This pins WHY the engine's unsee path rebuilds touched blobs from the
+    live seen rows instead of calling delete_hashes (ADVICE r7;
+    plans/frontier.py _rebuild_filter_blobs)."""
+    # same low 12 bits (i1) and same top 16 bits (fp) → same (bucket, fp)
+    # pair; the middle bits differ, so the keys are distinct
+    a = np.int64(0x1234_5000_0000_0ABC)
+    b = np.int64(0x1234_5000_0100_0ABC)
+    assert a != b
+    f = CK.empty_filter(P)
+    # sequential rounds (the engine's per-round blob folds): the second
+    # insert sees contains()==True through the shared (bucket, fp) pair
+    # and stores nothing — one copy owned by two keys
+    CK.add_hashes(f, np.array([a]), P)
+    CK.add_hashes(f, np.array([b]), P)
+    assert (f != 0).sum() == 1  # one shared copy
+    assert CK.contains(f, np.array([a, b]), P).all()
+
+    # the hazard: deleting a strands b (false negative = lost-URL class)
+    CK.delete_hashes(f, np.array([a]), P)
+    assert not CK.contains(f, np.array([b]), P).any()
+
+    # the engine's fix: rebuild from the exact surviving rows — contains
+    # every live key by construction
+    f2 = CK.empty_filter(P)
+    CK.add_hashes(f2, np.array([b]), P)  # live set after deleting a
+    assert CK.contains(f2, np.array([b]), P).all()

@@ -436,3 +436,69 @@ def test_service_recrawl_refreshes_cache(spark, corpus_1k, tmp_path):
     with pytest.raises(ValueError, match="already recrawling|not a completed"):
         svc.recrawl("J1", victims, owner="m3", now=3000.0)
     svc.ledger.complete("J1")
+
+
+def test_cuckoo_unsee_rebuilds_blobs_from_live_rows(spark, corpus_1k, tmp_path):
+    """After an unsee, the committed cuckoo blobs must (a) contain EVERY
+    live seen hash — the no-false-negative invariant that an in-place
+    delete_hashes breaks when a deleted and a surviving key share
+    (bucket, fingerprint) — and (b) actually drop the victims (filter
+    tightness, the point of the cuckoo arm over bloom)."""
+    import numpy as np
+
+    from distributed_web_crawler_spark.functions import cuckoo as CK
+
+    eng, spec, seed_i = _engine(spark, corpus_1k, tmp_path, seen_filter="cuckoo")
+    eng.run_job("u8", C.url_of(seed_i, spec), 3)
+    before = _seen_rows(eng, "u8")
+    victims = _pick_victims(before)
+    eng.unsee_urls("u8", victims)
+
+    store = eng.store("u8")
+    live = eng.seen_df("u8").select("url_hash", "seen_bucket").collect()
+    victim_hashes = {h for h, u, _d in before if u in set(victims)}
+    by_bucket: dict = {}
+    for r in live:
+        by_bucket.setdefault(r["seen_bucket"], []).append(r["url_hash"])
+    blobs = store.bloom_blobs()
+    _FM, params = eng._seen_filter()
+    for bucket, hashes in by_bucket.items():
+        filt = CK.load_blobs(blobs.get(bucket), params)
+        assert CK.contains(filt, np.array(hashes, dtype=np.int64), params).all(), bucket
+        gone = np.array(
+            [h for h in victim_hashes if h % eng.cfg.seen_buckets == bucket],
+            dtype=np.int64,
+        )
+        if len(gone):
+            # deterministic corpus → a flip here is a real regression, not flake
+            assert not CK.contains(filt, gone, params).any(), bucket
+
+
+def test_seen_filter_config_is_pinned_per_job(spark, corpus_1k, tmp_path):
+    """ADVICE r7: resuming a job store under a different seen-filter
+    config silently reinterprets the blob bytes (bloom bits as a cuckoo
+    table or vice versa) — false negatives duplicate crawls with no
+    error. The seed commit records the filter identity; resume/unsee
+    under any other kind, params, bucket count, or use_bloom raises."""
+    eng, spec, seed_i = _engine(spark, corpus_1k, tmp_path, seen_filter="bloom")
+    eng.run_job("u9", C.url_of(seed_i, spec), 2)
+
+    def resumed(**cfg):
+        kw = dict(use_bloom=True, seen_buckets=8, compact_seen_every=None)
+        kw.update(cfg)
+        return FrontierEngine(
+            spark, str(tmp_path / "wh"), corpus_1k[1], spec, EngineConfig(**kw)
+        )
+
+    with pytest.raises(ValueError, match="seen-filter config mismatch"):
+        resumed(seen_filter="cuckoo").run_job("u9", C.url_of(seed_i, spec), 2)
+    with pytest.raises(ValueError, match="seen-filter config mismatch"):
+        resumed(seen_buckets=16).unsee_urls("u9", ["https://crawl.test/x"])
+    with pytest.raises(ValueError, match="seen-filter config mismatch"):
+        resumed(use_bloom=False).run_job("u9", C.url_of(seed_i, spec), 2)
+    from distributed_web_crawler_spark.functions.bloom import BloomParams
+
+    with pytest.raises(ValueError, match="seen-filter config mismatch"):
+        resumed(bloom=BloomParams(n_bits=1 << 16)).run_job("u9", C.url_of(seed_i, spec), 2)
+    # the ORIGINAL config keeps working (resume of a done job is a no-op)
+    assert resumed().run_job("u9", C.url_of(seed_i, spec), 2)["done"]
