@@ -40,24 +40,61 @@ CRAWL_SEEDS = int(os.environ.get("BENCH_CRAWL_SEEDS", "100000"))
 CACHE_DIR = os.environ.get("BENCH_CACHE_DIR", "/root/repo/.bench_cache")
 
 
+def _warm_session(spark):
+    """Untimed one-time session warm-up. Two costs would otherwise land on
+    whichever query runs first (r7 verdict: the alphabetically-first query
+    absorbed ~5-8 s of it, distorting cross-round per-query comparisons at
+    BOTH ends — 9.9 s on the new first query, a phantom 2.4x 'win' on the
+    query that used to be first):
+
+    * Python worker interpreter spin-up (the first pandas stage);
+    * JVM whole-stage codegen / shuffle machinery / broadcast-exchange /
+      vectorized-parquet-reader class loading + JIT.
+    """
+    from pyspark.sql import functions as F
+
+    spark.range(0, 1024, numPartitions=CPUS).mapInPandas(lambda it: it, schema="id long").count()
+    big = spark.range(0, 1_000_000, numPartitions=CPUS).withColumn(
+        "k", (F.col("id") % 997).cast("int")
+    )
+    dim = spark.range(0, 997).withColumn("k", F.col("id").cast("int")).drop("id")
+    (
+        big.join(F.broadcast(dim), "k")
+        .groupBy("k").agg(F.sum("id").alias("s"), F.count("*").alias("c"))
+        .orderBy("k").collect()
+    )
+    # one real parquet scan with a pushed filter: reader + footer machinery
+    spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).filter(
+        F.col("doc_id") % 1000 == 0
+    ).count()
+    spark.catalog.clearCache()
+
+
 def bench_queries(spark):
     from distributed_web_crawler_spark.queries import bench_queries as queries
 
-    # warm the Python workers once (executor-bootstrap cost, not query
-    # work — the crawl bench applies the same warm-up): the first pandas
-    # stage otherwise pays ~5 s of interpreter spin-up that lands on
-    # whichever query sorts first alphabetically
-    spark.range(0, 1024, numPartitions=CPUS).mapInPandas(lambda it: it, schema="id long").count()
-    times = {}
+    _warm_session(spark)
+    # per-query best-of-k (default 2): the sandbox window drifts ±40%
+    # run-to-run (host CPU steal); a single shot per query let a degraded
+    # window print a phantom +15% regression across 50 unchanged queries
+    # in r7. The min is the comparable number; all trials are disclosed in
+    # queries_trials alongside.
+    k = int(os.environ.get("BENCH_QUERY_TRIALS", "2"))
+    times, trials = {}, {}
     for name, fn in sorted(queries().items()):
-        t0 = time.monotonic()
-        fn(spark, SF_DIR).collect()
-        times[name] = round(time.monotonic() - t0, 3)
-        # the shingle/ranked caches some operators persist are held by the
-        # CacheManager until cleared — drop them so queries don't pay (or
-        # profit from) a neighbor's leftover MEMORY_AND_DISK entries
-        spark.catalog.clearCache()
-    return times
+        runs = []
+        for _ in range(k):
+            t0 = time.monotonic()
+            fn(spark, SF_DIR).collect()
+            runs.append(round(time.monotonic() - t0, 3))
+            # the shingle/ranked caches some operators persist are held by
+            # the CacheManager until cleared — drop them so queries (and
+            # repeat trials) don't pay or profit from leftover
+            # MEMORY_AND_DISK entries
+            spark.catalog.clearCache()
+        times[name] = min(runs)
+        trials[name] = runs
+    return times, trials
 
 
 def _one_crawl_trial(spark, spec, corpus_path):
@@ -116,8 +153,9 @@ def bench_crawl(spark):
     t0 = time.monotonic()
     build_corpus(spark, spec, corpus_path)
     gen_sec = round(time.monotonic() - t0, 3)
-    # warm the Python workers (one-time executor bootstrap, not drain work)
-    spark.range(0, 1024, numPartitions=CPUS).mapInPandas(lambda it: it, schema="id long").count()
+    # one-time executor/JVM bootstrap, not drain work (and the trial
+    # protocol is median-of-3, which absorbs any residue)
+    _warm_session(spark)
     # multiple trials: the sandbox VM shows ±3× run-to-run noise (host CPU
     # steal / writeback stalls); a single shot is a lottery. Median of an
     # odd trial count — the same protocol scaling_bench.py uses — so the
@@ -147,7 +185,7 @@ def main():
         "queries": {},
     }
     if ONLY != "crawl":
-        out["queries"] = bench_queries(spark)
+        out["queries"], out["queries_trials"] = bench_queries(spark)
     if ONLY != "queries":
         crawl = bench_crawl(spark)
         out["crawl"] = crawl
