@@ -478,3 +478,71 @@ def cdc_chunk_stats(docs: DataFrame, k: int = CDC_K, mod: int = CDC_MOD) -> Data
         )
         .withColumn("dup_frac", F.col("dup_chars") / F.col("total_chars"))
     )
+
+
+SUBSTRING_GRAM_LEN = 15  # tokens per anchor gram (Lee et al. use 50 BPE
+# tokens on web text; the synthetic corpus' tiny vocab needs a shorter run
+# for a non-trivial result — the operator takes the published 50 as a
+# parameter default at call sites that want it)
+
+
+def substring_dedup_pairs(docs: DataFrame, gram_len: int = SUBSTRING_GRAM_LEN) -> DataFrame:
+    """Exact substring dedup, pair level (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better" — the ExactSubstr
+    criterion: two documents are substring-duplicates when they share a
+    verbatim run of >= L consecutive tokens).
+
+    A pair shares a run of >= L tokens IFF it shares at least one exact
+    L-token gram, so detection via an L-gram equi-join is EXACT, not an
+    approximation — the suffix array in the paper buys single-machine
+    memory efficiency, not extra recall. The shared run LENGTHS are
+    recovered from matched gram positions: overlapping matches of one
+    run land on one (pa - pb) diagonal at consecutive pa, so
+    gaps-and-islands per (a, b, diagonal) gives
+    max_run_tokens = L - 1 + longest island. Output:
+    (a_id, b_id, n_matches, max_run_tokens), a_id < b_id.
+
+    100-TB shape (the reference crawler's dedup is a per-page visited-map,
+    Server/Master/master.go:96 — corpus-level dedup is the pipeline
+    extension): grams join on a 64-bit xxhash64 key (8-byte shuffle key,
+    JVM-side) with gram-text equality verified post-join so a hash
+    collision can never fabricate a pair; there is no all-pairs surface —
+    candidate volume is bounded by genuinely shared grams, the same
+    banded-join discipline as minhash_lsh_pairs. At web scale you would
+    additionally stride the anchor positions (every s-th gram still
+    catches every run of >= L + s - 1 tokens) — strided anchors trade the
+    exact-iff guarantee for s× less shuffle; the default keeps it exact."""
+    from pyspark.sql import Window
+
+    grams = fan_out(docs).select(
+        "doc_id",
+        F.posexplode(ngram_array(F.col("text"), gram_len)).alias("pos0", "gram"),
+    ).select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("pos"),
+        F.xxhash64("gram").alias("gh"),
+        "gram",
+    )
+    a = grams.select(
+        F.col("doc_id").alias("a_id"), F.col("pos").alias("pa"),
+        "gh", F.col("gram").alias("gram_a"),
+    )
+    b = grams.select(
+        F.col("doc_id").alias("b_id"), F.col("pos").alias("pb"),
+        "gh", F.col("gram").alias("gram_b"),
+    )
+    shared = (
+        a.join(b, "gh")
+        .filter((F.col("a_id") < F.col("b_id")) & (F.col("gram_a") == F.col("gram_b")))
+        .select("a_id", "b_id", "pa", "pb", (F.col("pa") - F.col("pb")).alias("diag"))
+    )
+    w = Window.partitionBy("a_id", "b_id", "diag").orderBy("pa")
+    runs = (
+        shared.withColumn("grp", F.col("pa") - F.row_number().over(w))
+        .groupBy("a_id", "b_id", "diag", "grp")
+        .agg(F.count("*").alias("iln"))
+    )
+    return runs.groupBy("a_id", "b_id").agg(
+        F.sum("iln").cast("long").alias("n_matches"),
+        (F.lit(gram_len - 1) + F.max("iln")).cast("long").alias("max_run_tokens"),
+    )

@@ -18,8 +18,9 @@ Crawl-engine slices run on the TPC-H-ish tables:
 
 Training-data ops run on documents/embeddings:
   exact_dedup, token_count, quality_score, lang_id, doc_fingerprint,
-  minhash_signature, minhash_lsh_pairs, jaccard_verified_pairs, simhash,
-  embedding_topk, label_centroids
+  minhash_signature, minhash_lsh_pairs, text_dedup_pairs (shingle-Jaccard
+  + exact-substring union row; individually jaccard_verified_pairs and
+  substring_dedup in bench), simhash, embedding_topk, label_centroids
 """
 
 from __future__ import annotations
@@ -369,6 +370,30 @@ def q_jaccard_verified_pairs(spark, sf_dir):
         _t(spark, sf_dir, "documents"),
         persisted=_swap_persisted("jaccard_verified_pairs"),
     )
+
+
+def q_substring_dedup(spark, sf_dir):
+    return D.substring_dedup_pairs(_t(spark, sf_dir, "documents"))
+
+
+def q_text_dedup_pairs(spark, sf_dir):
+    """Correctness-window union of the two text-pair dedup modes (same
+    trick as _layout_union, harmonized to (kind, a_id, b_id, score)): the
+    shingle-Jaccard pairs and the exact-substring pairs (Lee et al. 2022)
+    share one registry row so both keep oracle coverage inside the
+    driver's 50-row cap. Individually timed in bench_queries(); the full
+    substring output (n_matches) is oracle-checked by the standalone
+    ORACLE_SQL['substring_dedup'] in tests and pinned by the
+    planted-overlap recall test."""
+    j = q_jaccard_verified_pairs(spark, sf_dir).select(
+        F.lit("jaccard").alias("kind"), "a_id", "b_id",
+        F.col("jaccard").alias("score"),
+    )
+    s = q_substring_dedup(spark, sf_dir).select(
+        F.lit("substring").alias("kind"), "a_id", "b_id",
+        F.col("max_run_tokens").cast("double").alias("score"),
+    )
+    return j.unionByName(s)
 
 
 def q_simhash(spark, sf_dir):
@@ -1373,6 +1398,44 @@ SELECT url, CAST(count(DISTINCT src_page) AS BIGINT) AS n_link_pages,
        array_to_string(list_sort(list_distinct(list(token)))[1:5], ',') AS top_tokens
 FROM tok WHERE length(token) >= 3 GROUP BY url"""
 
+# exact substring dedup (Lee et al. 2022): pairs sharing >= 1 exact
+# L-token gram, with max shared run recovered via gaps-and-islands on
+# each (pa - pb) diagonal — identical logic to the Spark operator
+# (operators/dedup.py substring_dedup_pairs), same _TOKS tokenization as
+# every other text oracle. list_slice is 1-based inclusive; range() is
+# end-exclusive and empty when the doc is shorter than L tokens (the
+# Spark side's explicit size guard).
+_SS_L = 15
+ORACLE_SQL["substring_dedup"] = f"""
+WITH toksS AS (SELECT doc_id, {_TOKS} AS ws FROM documents),
+gramsS AS (
+  SELECT doc_id, CAST(k AS INT) AS pos, array_to_string(list_slice(ws, k, k + {_SS_L - 1}), ' ') AS gram
+  FROM toksS, UNNEST(range(1, len(ws) - {_SS_L - 2})) t(k)
+),
+sharedS AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.pos AS pa, b.pos AS pb
+  FROM gramsS a JOIN gramsS b ON a.gram = b.gram AND a.doc_id < b.doc_id
+),
+islS AS (
+  SELECT a_id, b_id, pa - pb AS diag,
+         pa - row_number() OVER (PARTITION BY a_id, b_id, pa - pb ORDER BY pa) AS grp
+  FROM sharedS
+),
+runsS AS (SELECT a_id, b_id, diag, grp, count(*) AS iln FROM islS GROUP BY 1, 2, 3, 4)
+SELECT a_id, b_id, CAST(sum(iln) AS BIGINT) AS n_matches,
+       CAST({_SS_L} - 1 + max(iln) AS BIGINT) AS max_run_tokens
+FROM runsS GROUP BY 1, 2"""
+
+# correctness-window union row (see q_text_dedup_pairs)
+ORACLE_SQL["text_dedup_pairs"] = (
+    "SELECT 'jaccard' AS kind, a_id, b_id, jaccard AS score FROM (\n"
+    + ORACLE_SQL["jaccard_verified_pairs"]
+    + "\n)\nUNION ALL\nSELECT 'substring' AS kind, a_id, b_id, "
+    "CAST(max_run_tokens AS DOUBLE) AS score FROM (\n"
+    + ORACLE_SQL["substring_dedup"]
+    + "\n)"
+)
+
 # merged layout-union oracles: every physical layout must reproduce the
 # single-layout oracle exactly (see _layout_union)
 ORACLE_SQL["pagerank"] = _layout_union_oracle(ORACLE_SQL["pagerank"], ["flat", "bucketed"])
@@ -1949,7 +2012,7 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "minhash_signature": q_minhash_signature,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
-        "jaccard_verified_pairs": q_jaccard_verified_pairs,
+        "text_dedup_pairs": q_text_dedup_pairs,
         "simhash": q_simhash,
         "winnow_fingerprint": q_winnow_fingerprint,
         "chunk_dedup": q_chunk_dedup,
@@ -1986,7 +2049,7 @@ def bench_queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
     like-for-like timing comparisons survive the correctness-window
     merge."""
     q = queries()
-    for merged in ("pagerank", "hits", "ann_topk", "ivf_topk"):
+    for merged in ("pagerank", "hits", "ann_topk", "ivf_topk", "text_dedup_pairs"):
         del q[merged]
     q.update(
         {
@@ -1998,6 +2061,8 @@ def bench_queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ann_topk_partitioned": q_ann_topk_partitioned,
             "ivf_topk": q_ivf_topk,
             "ivf_topk_partitioned": q_ivf_topk_partitioned,
+            "jaccard_verified_pairs": q_jaccard_verified_pairs,
+            "substring_dedup": q_substring_dedup,
         }
     )
     return q

@@ -28,6 +28,8 @@ MUST_CONTAIN = {
 }
 FORBIDDEN = {
     "minhash_signature": ["CartesianProduct"],
+    # gram pairs come from the hashed anchor equi-join, never all-pairs
+    "substring_dedup": ["CartesianProduct", "BroadcastNestedLoopJoin"],
     "image_neardup": ["CartesianProduct", "BroadcastNestedLoopJoin"],
     "pagerank": ["CartesianProduct", "BroadcastNestedLoopJoin"],
     "sequence_pack": ["CartesianProduct"],
