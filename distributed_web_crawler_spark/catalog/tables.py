@@ -5,9 +5,11 @@ commit per crawl round (the resume anchor, mirroring the reference's
 lock-server job-reassignment path, Server/LockServer/lockServer.go:114-197).
 The Iceberg runtime jar is not available in this container, so this module
 provides the same two commit primitives with plain parquet + atomic manifest
-renames (`os.replace`); swapping to real Iceberg on a cluster replaces each
-class body with `writeTo(...).append()` / MERGE inside one transaction while
-every caller stays unchanged:
+renames (`os.replace`). The cluster swap is CODE, not prose: the engine
+reaches its catalog only through the `CatalogBackend` protocol
+(catalog/backend.py — with the per-method Iceberg mapping table and the
+`IcebergJobStateStore` skeleton); this class is the sandbox implementation
+of that protocol, verified by tests/test_catalog_backend.py:
 
 * ``JobStateStore`` — per-crawl-job round log. Each round directory holds
   ONE bucket-partitioned parquet file-set of the round's newly-discovered
@@ -71,6 +73,18 @@ class JobStateStore:
     def deferred_path(self, r: int) -> str:
         """Politeness remainder of the depth being drained (same layout)."""
         return os.path.join(self.round_dir(r), "deferred")
+
+    def fcompact_path(self, r: int) -> str:
+        """Round r's frontier-manifest compaction output: merged copies of
+        small per-sub-round pending file-sets (one ``d=<depth>`` root per
+        merged group, same bucketed layout as new/). Purely a FRONTIER
+        read-path artifact — the original new/ roots stay live as seen
+        components; only their manifest entries are replaced. This is the
+        Iceberg rewrite-manifests analog for the pending frontier: a
+        politeness-throttled depth otherwise appends one manifest entry
+        per sub-round, and a 10^4-sub-round drain would hand the next
+        depth's sub-round-0 read a 10^4-way union."""
+        return os.path.join(self.round_dir(r), "fcompact")
 
     def metrics_path(self, r: int) -> str:
         return os.path.join(self.round_dir(r), "metrics")
@@ -189,6 +203,7 @@ class JobStateStore:
             "aborted_rounds": 0,
             "stale_blooms": 0,
             "stale_deferred": 0,
+            "stale_fcompact": 0,
             "stale_compacts": 0,
             "compacted_deltas": 0,
             "covered_tombstones": 0,
@@ -233,6 +248,19 @@ class JobStateStore:
                         stats["stale_deferred"] += 1
                 if not os.listdir(def_path):
                     os.rmdir(def_path)
+            # fcompact sets (fcompact/d=<k>/...) are frontier-only copies:
+            # garbage as soon as the manifest stops referencing them
+            # (drained, or re-merged into a later generation) — same rule
+            # as deferred slices
+            fc_path = self.fcompact_path(r)
+            if os.path.isdir(fc_path) and fc_path not in live_paths:
+                for child in os.listdir(fc_path):
+                    p = os.path.join(fc_path, child)
+                    if p not in live_paths:
+                        shutil.rmtree(p, ignore_errors=True)
+                        stats["stale_fcompact"] += 1
+                if not os.listdir(fc_path):
+                    os.rmdir(fc_path)
         sc = self.read_seen_compact()
         # superseded/orphaned compaction generations: anything under
         # seen_compact/ that is not the live pointer's target — including

@@ -126,6 +126,16 @@ class EngineConfig:
     # seen file listing O(1) in crawl age — without it a thousand-round
     # crawl scans a thousand delta roots per re-check/result read.
     compact_seen_every: Optional[int] = 16
+    # merge a depth's pending-frontier manifest entries whenever one
+    # (depth, due=0) group exceeds this (0/None disables): a politeness-
+    # throttled depth appends one new/ entry PER SUB-ROUND, so a
+    # 10^4-sub-round drain would grow commit.json and the next depth's
+    # sub-round-0 union linearly with rounds. The merge takes the K
+    # SMALLEST entries (LSM discipline — freshly-appended per-sub-round
+    # sets merge once; a merged generation is only re-picked when it is
+    # again among the smallest), bounding the group at K+1 entries with
+    # O(rows · log) total rewrite amplification.
+    frontier_compact_every: Optional[int] = 64
     bloom: B.BloomParams = field(default_factory=B.BloomParams)
     # which approximate seen-filter backs the probe + fused write when
     # use_bloom is on: "bloom" (OR-mergeable bits, no deletion) or
@@ -182,8 +192,15 @@ class FrontierEngine:
         self._verify_inflight: Optional[tuple] = None
 
     # ------------------------------------------------------------ helpers
+    # catalog seam (catalog/backend.py CatalogBackend): every store the
+    # engine touches comes from this factory, so a cluster deployment
+    # swaps the parquet+CAS stand-in for IcebergJobStateStore by
+    # reassigning ONE attribute — the whole suite runs against whatever
+    # backend this names. Signature: (warehouse, job_id) -> CatalogBackend.
+    store_backend = JobStateStore
+
     def store(self, job_id: str) -> JobStateStore:
-        return JobStateStore(self.warehouse, job_id)
+        return self.store_backend(self.warehouse, job_id)
 
     def _seen_filter(self):
         """(module, params) of the configured approximate seen-filter —
@@ -610,6 +627,61 @@ class FrontierEngine:
         if slice_col:
             return [(row["slice"], row["bucket"], row["n"]) for row in stats], task_ms
         return [(row["bucket"], row["n"]) for row in stats], task_ms
+
+    def _compact_manifest(
+        self, store: JobStateStore, r: int, manifest: List[list], phases: dict
+    ) -> List[list]:
+        """Bound the pending-frontier manifest: when a (depth, due=0)
+        group exceeds cfg.frontier_compact_every entries, merge the K
+        SMALLEST (by row count) into one staged file-set under round r's
+        fcompact/d=<depth>/ and replace their entries with one. Runs
+        pre-commit, so a crash leaves either the old manifest or the new
+        one — never a half-merged view; abort_round sweeps the staging.
+
+        Why smallest-K (LSM discipline): a politeness-throttled depth
+        appends one tiny new/ entry per sub-round; merging those keeps
+        each row's rewrite count O(log) while the group length stays
+        ≤ K+1 regardless of how many sub-rounds the previous depth took.
+        The merged copy is frontier-only — the original new/ roots remain
+        live seen components (they ARE the seen deltas); vacuum sweeps an
+        fcompact set once the manifest stops referencing it, and sweeps
+        new/ data files only when the seen compaction also covers them.
+        Politeness-deferred slices (due > 0) are never merged: each slice
+        is consumed whole by its own sub-round already."""
+        every = self.cfg.frontier_compact_every
+        if not every:
+            return manifest
+        from collections import defaultdict
+
+        groups = defaultdict(list)
+        for e in manifest:
+            if (e[3] if len(e) > 3 else 0) == 0:
+                groups[e[1]].append(e)
+        out = list(manifest)
+        t0 = time.monotonic()
+        merged_any = False
+        for depth, entries in sorted(groups.items()):
+            if len(entries) <= every:
+                continue
+            victims = sorted(entries, key=lambda e: (e[2], e[0]))[:every]
+            expected = sum(e[2] for e in victims)
+            df = self._read_components([os.path.join(store.dir, e[0]) for e in victims])
+            dest = os.path.join(store.fcompact_path(r), f"d={depth}")
+            stats, _ = self._write_bucketed(
+                store, dest, df, bloom_round=None, approx_rows=expected
+            )
+            n = sum(s[1] for s in stats)
+            if n != expected:
+                raise AssertionError(
+                    f"frontier compaction rewrote {n} rows, manifest said {expected}"
+                )
+            vic_ids = {id(e) for e in victims}
+            out = [e for e in out if id(e) not in vic_ids]
+            out.append([self._rel(store, dest), depth, n, 0])
+            merged_any = True
+        if merged_any:
+            phases["fcompact_ms"] = round((time.monotonic() - t0) * 1000)
+        return out
 
     # ------------------------------------------------------------ pipelined verify
     def _finalize_verify(self, store: JobStateStore) -> None:
@@ -1317,6 +1389,7 @@ class FrontierEngine:
             next_manifest.extend(sched_entries)
             if n_new > 0:
                 next_manifest.append([self._rel(store, store.new_path(r)), d + 1, n_new, 0])
+            next_manifest = self._compact_manifest(store, r, next_manifest, phases)
             n_pending_after = sum(e[2] for e in next_manifest)
 
             info = {
