@@ -136,6 +136,16 @@ class EngineConfig:
     # again among the smallest), bounding the group at K+1 entries with
     # O(rows · log) total rewrite amplification.
     frontier_compact_every: Optional[int] = 64
+    # optional SQL expression (over the pending frontier's url / host /
+    # url_hash / depth columns) of a COARSE priority grade for the
+    # politeness schedule: per-host admission order becomes (grade DESC,
+    # url_hash, url) — operators/politeness.py schedule(grade=...). This
+    # is how a hits/pagerank signal drives the drain (grade the frontier
+    # by authority octile); keep it ≤ ~100 distinct values (the schedule's
+    # offset table is hosts × grades × chunks rows, broadcast). Ignored
+    # without politeness. Part of the per-round dataflow, so the re-verify
+    # path re-derives slices with the same grade (pure function of data).
+    politeness_grade: Optional[str] = None
     bloom: B.BloomParams = field(default_factory=B.BloomParams)
     # which approximate seen-filter backs the probe + fused write when
     # use_bloom is on: "bloom" (OR-mergeable bits, no deletion) or
@@ -255,6 +265,12 @@ class FrontierEngine:
                 "the original EngineConfig (filter kind, params, "
                 "seen_buckets, use_bloom) or start a fresh job"
             )
+
+    def _grade_col(self):
+        """cfg.politeness_grade as a Column (None when unset) — resolved
+        lazily so the expression string is parsed against each round's
+        pending frame."""
+        return F.expr(self.cfg.politeness_grade) if self.cfg.politeness_grade else None
 
     def _with_keys(self, df: DataFrame) -> DataFrame:
         url = U.canonicalize(F.col("url"))
@@ -818,7 +834,7 @@ class FrontierEngine:
             admitted = (
                 pending
                 if self.cfg.politeness is None
-                else schedule(pending, self.cfg.politeness)[0]
+                else schedule(pending, self.cfg.politeness, grade=self._grade_col())[0]
             )
         else:
             consumed = [e for e in entries_d if len(e) > 3 and e[3] == sub]
@@ -1225,7 +1241,9 @@ class FrontierEngine:
                     # persisted `ranked` ancestor: the host-window shuffle runs
                     # ONCE, shared by the admitted count and the deferred write
                     persisted = []
-                    admitted, deferred_sched = schedule(pending, self.cfg.politeness, persisted)
+                    admitted, deferred_sched = schedule(
+                        pending, self.cfg.politeness, persisted, grade=self._grade_col()
+                    )
                     persisted.append(admitted.persist())
                     n_admitted = admitted.count()
                     n_deferred = n_pending_d - n_admitted

@@ -362,3 +362,46 @@ def test_hits_to_grade_to_drain_end_to_end(spark):
         (u for u in auth_of if u.startswith("http://h0000")), key=lambda u: auth_of[u]
     )
     assert grade_of[top_h0] == max(grade_of[u] for u in per_host["h0000.test"])
+
+
+def test_engine_graded_drain_identical_results(spark, corpus_1k, tmp_path):
+    """EngineConfig.politeness_grade wires schedule(grade=...) into the
+    drain (r7 verdict #6): admission ORDER changes, the fetched SET and
+    client payload must not — and with a budget wide enough to admit a
+    whole depth per sub-round the round structure matches the plain
+    drain too (the BENCH_GRADED=1 campaign mode)."""
+    from distributed_web_crawler_spark.fixtures import corpus as C
+    from distributed_web_crawler_spark.oracle.crawler import PolitenessPolicy
+    from distributed_web_crawler_spark.plans.frontier import EngineConfig, FrontierEngine
+
+    spec, corpus = corpus_1k
+    seed_i = next(i for i in range(spec.n) if len(C.out_links(i, spec)) >= 4)
+    # multi-seed with six mega-host URLs so a genuinely tight budget
+    # (1/host/sub-round) must defer at depth 0
+    seeds = [C.url_of(seed_i, spec)] + [C.url_of(i, spec) for i in range(0, 60, 10)]
+    base = dict(use_bloom=True, seen_buckets=8, detailed_metrics=False)
+    res = {}
+    for name, cfg in {
+        "plain": EngineConfig(**base),
+        "graded_wide": EngineConfig(
+            politeness=PolitenessPolicy(round_duration_ms=1_000_000_000),
+            politeness_grade="pmod(url_hash, 8)", **base,
+        ),
+        "graded_tight": EngineConfig(
+            politeness=PolitenessPolicy(round_duration_ms=500),
+            politeness_grade="pmod(url_hash, 8)", **base,
+        ),
+    }.items():
+        eng = FrontierEngine(spark, str(tmp_path / name), corpus, spec, cfg)
+        assert eng.run_job("g", seeds, 3)["done"]
+        res[name] = (
+            {(r["url"], r["depth"]) for r in eng.seen_df("g").collect()},
+            eng.client_payload("g", 3),
+            eng.store("g").last_committed(),
+        )
+    assert res["plain"][0] == res["graded_wide"][0] == res["graded_tight"][0]
+    assert res["plain"][1] == res["graded_wide"][1] == res["graded_tight"][1]
+    # wide budget reproduces the plain drain's round structure exactly
+    assert res["plain"][2] == res["graded_wide"][2]
+    # the tight budget really rate-limited (more committed rounds)
+    assert res["graded_tight"][2] > res["plain"][2]

@@ -47,6 +47,7 @@ def test_vacuum_preserves_results_and_resume(spark, corpus_1k, tmp_path):
         "aborted_rounds": 0,
         "stale_blooms": 0,
         "stale_deferred": 0,
+        "stale_fcompact": 0,
         "stale_compacts": 0,
         "compacted_deltas": 0,
         "covered_tombstones": 0,
