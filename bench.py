@@ -8,8 +8,8 @@ Env:
   SPARK_GRAFT_SF_DIR  parquet dir (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS    local[N] cores (default 32)
   BENCH_ONLY          'crawl' | 'queries' (default: both)
-  BENCH_CRAWL_N       corpus pages for the crawl bench (default 200000)
-  BENCH_CRAWL_SEEDS   frontier seed count (default 20000)
+  BENCH_CRAWL_N       corpus pages for the crawl bench (default 500000)
+  BENCH_CRAWL_SEEDS   frontier seed count (default 100000)
   BENCH_PIPELINE_VERIFY  '1' (default) overlap round r's verify with round
                       r+1's compute; '0' verify synchronously per round
   BENCH_VERIFY_PAYLOADS  '1' (default) decode+verify payloads; '0' drain
