@@ -486,7 +486,9 @@ SUBSTRING_GRAM_LEN = 15  # tokens per anchor gram (Lee et al. use 50 BPE
 # parameter default at call sites that want it)
 
 
-def substring_dedup_pairs(docs: DataFrame, gram_len: int = SUBSTRING_GRAM_LEN) -> DataFrame:
+def substring_dedup_pairs(
+    docs: DataFrame, gram_len: int = SUBSTRING_GRAM_LEN, stride: int = 1
+) -> DataFrame:
     """Exact substring dedup, pair level (Lee et al. 2022, "Deduplicating
     Training Data Makes Language Models Better" — the ExactSubstr
     criterion: two documents are substring-duplicates when they share a
@@ -508,10 +510,18 @@ def substring_dedup_pairs(docs: DataFrame, gram_len: int = SUBSTRING_GRAM_LEN) -
     JVM-side) with gram-text equality verified post-join so a hash
     collision can never fabricate a pair; there is no all-pairs surface —
     candidate volume is bounded by genuinely shared grams, the same
-    banded-join discipline as minhash_lsh_pairs. At web scale you would
-    additionally stride the anchor positions (every s-th gram still
-    catches every run of >= L + s - 1 tokens) — strided anchors trade the
-    exact-iff guarantee for s× less shuffle; the default keeps it exact."""
+    banded-join discipline as minhash_lsh_pairs.
+
+    ``stride`` is the web-scale knob: with stride s > 1 the LEFT join
+    side keeps only every s-th gram position (anchor sampling — the
+    right side keeps all grams), cutting the join's left input s×. A
+    shared run of R >= L + s - 1 tokens always covers a left anchor
+    aligned with a right gram, so every such pair is STILL found, and
+    the reported (n_matches, max_run_tokens) are identical to stride=1
+    because candidate pairs are extend-verified with the full gram set
+    (restricted to candidate docs — the paper's anchor-then-extend
+    shape). Only runs in [L, L+s-2] may be missed; stride=1 (default)
+    keeps the exact-iff guarantee."""
     from pyspark.sql import Window
 
     grams = fan_out(docs).select(
@@ -523,19 +533,44 @@ def substring_dedup_pairs(docs: DataFrame, gram_len: int = SUBSTRING_GRAM_LEN) -
         F.xxhash64("gram").alias("gh"),
         "gram",
     )
-    a = grams.select(
-        F.col("doc_id").alias("a_id"), F.col("pos").alias("pa"),
-        "gh", F.col("gram").alias("gram_a"),
-    )
-    b = grams.select(
-        F.col("doc_id").alias("b_id"), F.col("pos").alias("pb"),
-        "gh", F.col("gram").alias("gram_b"),
-    )
-    shared = (
-        a.join(b, "gh")
-        .filter((F.col("a_id") < F.col("b_id")) & (F.col("gram_a") == F.col("gram_b")))
-        .select("a_id", "b_id", "pa", "pb", (F.col("pa") - F.col("pb")).alias("diag"))
-    )
+
+    def side(g, p):
+        return g.select(
+            F.col("doc_id").alias(f"{p}_id"), F.col("pos").alias(f"p{p}"),
+            "gh", F.col("gram").alias(f"gram_{p}"),
+        )
+
+    def shared_pairs(left, right):
+        return (
+            left.join(right, "gh")
+            .filter((F.col("a_id") < F.col("b_id")) & (F.col("gram_a") == F.col("gram_b")))
+            .select("a_id", "b_id", "pa", "pb", (F.col("pa") - F.col("pb")).alias("diag"))
+        )
+
+    if stride > 1:
+        anchors = grams.filter((F.col("pos") - 1) % stride == 0)
+        # anchor pass: candidate doc pairs only (symmetrized — the anchor
+        # may sit on either document of the pair)
+        cand = (
+            shared_pairs(side(anchors, "a"), side(grams, "b"))
+            .select("a_id", "b_id")
+            .unionByName(
+                shared_pairs(side(grams, "a"), side(anchors, "b")).select("a_id", "b_id")
+            )
+            .distinct()
+        )
+        # extend-verify: the exact full-gram logic over ONLY the candidate
+        # docs' grams (semi-join bounds the shuffle), then drop accidental
+        # non-candidate cross pairs
+        cdocs = cand.select(F.col("a_id").alias("doc_id")).unionByName(
+            cand.select(F.col("b_id").alias("doc_id"))
+        ).distinct()
+        g = grams.join(cdocs, "doc_id", "left_semi")
+        shared = shared_pairs(side(g, "a"), side(g, "b")).join(
+            cand, ["a_id", "b_id"], "left_semi"
+        )
+    else:
+        shared = shared_pairs(side(grams, "a"), side(grams, "b"))
     w = Window.partitionBy("a_id", "b_id", "diag").orderBy("pa")
     runs = (
         shared.withColumn("grp", F.col("pa") - F.row_number().over(w))

@@ -100,3 +100,29 @@ def test_adjacent_islands_merge_into_one_run(spark):
     assert [(r["a_id"], r["b_id"], r["n_matches"], r["max_run_tokens"]) for r in rows] == [
         (0, 1, L + 1, 2 * L)
     ]
+
+
+def test_strided_anchors_keep_guarantee_and_exact_values(planted):
+    """stride=s: every pair sharing a run >= L+s-1 is still found, with
+    (n_matches, max_run_tokens) IDENTICAL to stride=1 (extend-verify runs
+    the full-gram logic on candidate docs); shorter runs may drop, and
+    nothing outside the exact result may appear."""
+    df, _ = planted
+    s = 3
+    exact = {
+        (r["a_id"], r["b_id"]): (r["n_matches"], r["max_run_tokens"])
+        for r in substring_dedup_pairs(df, gram_len=L).collect()
+    }
+    strided = {
+        (r["a_id"], r["b_id"]): (r["n_matches"], r["max_run_tokens"])
+        for r in substring_dedup_pairs(df, gram_len=L, stride=s).collect()
+    }
+    assert set(strided) <= set(exact)
+    for pair, vals in strided.items():
+        assert vals == exact[pair], pair
+    # the guarantee: every exact pair with max_run >= L+s-1 survives
+    for pair, (_n, run) in exact.items():
+        if run >= L + s - 1:
+            assert pair in strided, (pair, run)
+    # concretely: the 40-token planted overlap is found with exact values
+    assert strided[(0, 1)] == (40 - L + 1, 40)
