@@ -524,6 +524,23 @@ def substring_dedup_pairs(
     keeps the exact-iff guarantee."""
     from pyspark.sql import Window
 
+    shared = _substring_shared(docs, gram_len, stride)
+    w = Window.partitionBy("a_id", "b_id", "diag").orderBy("pa")
+    runs = (
+        shared.withColumn("grp", F.col("pa") - F.row_number().over(w))
+        .groupBy("a_id", "b_id", "diag", "grp")
+        .agg(F.count("*").alias("iln"))
+    )
+    return runs.groupBy("a_id", "b_id").agg(
+        F.sum("iln").cast("long").alias("n_matches"),
+        (F.lit(gram_len - 1) + F.max("iln")).cast("long").alias("max_run_tokens"),
+    )
+
+
+def _substring_shared(docs: DataFrame, gram_len: int, stride: int) -> DataFrame:
+    """(a_id, b_id, pa, pb, diag) matched-gram positions shared by
+    substring_dedup_pairs (run stats) and duplicate_spans (removal spans)
+    — one definition of the anchor join + extend-verify."""
     grams = fan_out(docs).select(
         "doc_id",
         F.posexplode(ngram_array(F.col("text"), gram_len)).alias("pos0", "gram"),
@@ -571,13 +588,82 @@ def substring_dedup_pairs(
         )
     else:
         shared = shared_pairs(side(grams, "a"), side(grams, "b"))
-    w = Window.partitionBy("a_id", "b_id", "diag").orderBy("pa")
+    return shared
+
+
+def duplicate_spans(docs: DataFrame, gram_len: int = SUBSTRING_GRAM_LEN, stride: int = 1) -> DataFrame:
+    """Per-doc duplicated TOKEN SPANS — the removal input of Lee et al.
+    2022's ExactSubstr pipeline (their tool emits byte ranges to cut; this
+    emits 1-based inclusive token ranges). Policy: the copy in the LOWEST
+    doc_id survives, every later doc's copy is marked — so spans come from
+    the pair frame's b-side islands ((pb, pb + L - 2 + island) per run),
+    then overlapping/adjacent ranges are merged per doc with a second
+    gaps-and-islands pass (running max of span ends over a start-ordered
+    window — one doc_id exchange). Output: (doc_id, start_tok, end_tok).
+
+    Scale shape: everything downstream of the gram join is O(matched
+    spans), partitioned by doc pair then by doc — no new wide surface
+    beyond substring_dedup_pairs itself."""
+    from pyspark.sql import Window
+
+    shared = _substring_shared(docs, gram_len, stride)
+    w = Window.partitionBy("a_id", "b_id", "diag").orderBy("pb")
     runs = (
-        shared.withColumn("grp", F.col("pa") - F.row_number().over(w))
-        .groupBy("a_id", "b_id", "diag", "grp")
-        .agg(F.count("*").alias("iln"))
+        shared.withColumn("grp", F.col("pb") - F.row_number().over(w))
+        .groupBy("b_id", "a_id", "diag", "grp")
+        .agg(F.min("pb").alias("start_tok"), F.max("pb").alias("last_pb"))
+        .select(
+            F.col("b_id").alias("doc_id"),
+            "start_tok",
+            (F.col("last_pb") + gram_len - 1).alias("end_tok"),
+        )
     )
-    return runs.groupBy("a_id", "b_id").agg(
-        F.sum("iln").cast("long").alias("n_matches"),
-        (F.lit(gram_len - 1) + F.max("iln")).cast("long").alias("max_run_tokens"),
+    # merge overlapping/adjacent spans per doc: a span starts a new merged
+    # group iff it begins after every earlier span's end
+    w2 = Window.partitionBy("doc_id").orderBy("start_tok", "end_tok")
+    merged = (
+        runs.withColumn(
+            "max_end", F.max("end_tok").over(w2.rowsBetween(Window.unboundedPreceding, -1))
+        )
+        .withColumn(
+            "new_grp",
+            F.when(F.col("max_end").isNull() | (F.col("start_tok") > F.col("max_end") + 1), 1).otherwise(0),
+        )
+        .withColumn("grp", F.sum("new_grp").over(w2.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("doc_id", "grp")
+        .agg(F.min("start_tok").alias("start_tok"), F.max("end_tok").alias("end_tok"))
+        .select("doc_id", "start_tok", "end_tok")
+    )
+    return merged
+
+
+def substring_dedup_clean(docs: DataFrame, gram_len: int = SUBSTRING_GRAM_LEN, stride: int = 1) -> DataFrame:
+    """ExactSubstr-cleaned corpus: every doc's text with its duplicated
+    spans (duplicate_spans — first-doc copy kept) removed, token-wise.
+    Pure JVM: spans collect to a per-doc array (broadcast-sized ONLY per
+    doc — collect_list over the doc's own spans), tokens are re-joined
+    through a positions zip + exists() filter. Docs with no duplicated
+    span pass through byte-identical. Output: (doc_id, text, n_removed_tokens)."""
+    spans = duplicate_spans(docs, gram_len, stride).groupBy("doc_id").agg(
+        F.collect_list(F.struct("start_tok", "end_tok")).alias("spans")
+    )
+    toks = docs.select("doc_id", "text", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("ws"))
+    joined = toks.join(spans, "doc_id", "left")
+    pos_tok = F.arrays_zip(F.sequence(F.lit(1), F.size("ws")).alias("pos"), F.col("ws").alias("tok"))
+    keep = F.filter(
+        pos_tok,
+        lambda pt: ~F.exists(
+            F.coalesce(F.col("spans"), F.array()),
+            lambda s: (pt["pos"] >= s["start_tok"]) & (pt["pos"] <= s["end_tok"]),
+        ),
+    )
+    return joined.select(
+        "doc_id",
+        F.when(F.col("spans").isNull(), F.col("text"))
+        .otherwise(F.array_join(F.transform(keep, lambda pt: pt["tok"]), " "))
+        .alias("text"),
+        F.when(F.col("spans").isNull(), F.lit(0))
+        .otherwise(F.size("ws") - F.size(keep))
+        .cast("long")
+        .alias("n_removed_tokens"),
     )

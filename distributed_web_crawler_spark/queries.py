@@ -376,6 +376,19 @@ def q_substring_dedup(spark, sf_dir):
     return D.substring_dedup_pairs(_t(spark, sf_dir, "documents"))
 
 
+def q_substring_clean(spark, sf_dir):
+    """ExactSubstr-cleaned corpus stats (Lee et al. 2022's pipeline
+    OUTPUT — bench/plan entry; exact span/clean semantics are pinned by
+    tests/test_substring_dedup.py's planted corpora). Aggregated so the
+    bench row is small and stable."""
+    cleaned = D.substring_dedup_clean(_t(spark, sf_dir, "documents"))
+    return cleaned.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_removed_tokens").alias("tokens_removed"),
+        F.sum((F.col("n_removed_tokens") > 0).cast("long")).alias("docs_touched"),
+    )
+
+
 def q_text_dedup_pairs(spark, sf_dir):
     """Correctness-window union of the two text-pair dedup modes (same
     trick as _layout_union, harmonized to (kind, a_id, b_id, score)): the
@@ -2063,6 +2076,7 @@ def bench_queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ivf_topk_partitioned": q_ivf_topk_partitioned,
             "jaccard_verified_pairs": q_jaccard_verified_pairs,
             "substring_dedup": q_substring_dedup,
+            "substring_clean": q_substring_clean,
         }
     )
     return q

@@ -126,3 +126,67 @@ def test_strided_anchors_keep_guarantee_and_exact_values(planted):
             assert pair in strided, (pair, run)
     # concretely: the 40-token planted overlap is found with exact values
     assert strided[(0, 1)] == (40 - L + 1, 40)
+
+
+def test_duplicate_spans_and_clean(spark):
+    """Lee et al.'s actual pipeline OUTPUT: duplicated token spans (the
+    lowest-doc copy survives) and the cleaned corpus. Planted layout with
+    known exact spans, overlap merging, and a pass-through doc."""
+    from distributed_web_crawler_spark.operators.dedup import (
+        duplicate_spans,
+        substring_dedup_clean,
+    )
+
+    span_a = _w("sa", 20)   # shared d0 -> d1 (one copy in each)
+    span_b = _w("sb", 16)   # shared d0 -> d2, appears TWICE in d2
+    docs = [
+        (0, " ".join(_w("p", 2) + span_a + _w("q", 3) + span_b)),
+        # d1: span_a at tokens 4..23
+        (1, " ".join(_w("r", 3) + span_a + _w("s", 2))),
+        # d2: span_b at 1..16 and again at 20..35 (both must be marked)
+        (2, " ".join(span_b + _w("t", 3) + span_b)),
+        # d3: untouched -> byte-identical pass-through
+        (3, " ".join(_w("u", 25))),
+    ]
+    import pandas as pd
+
+    df = spark.createDataFrame(pd.DataFrame(docs, columns=["doc_id", "text"]))
+    spans = {
+        (r["doc_id"], r["start_tok"], r["end_tok"])
+        for r in duplicate_spans(df, gram_len=L).collect()
+    }
+    assert spans == {(1, 4, 23), (2, 1, 16), (2, 20, 35)}, spans
+
+    cleaned = {r["doc_id"]: (r["text"], r["n_removed_tokens"])
+               for r in substring_dedup_clean(df, gram_len=L).collect()}
+    # d0 keeps everything (first copy wins)
+    assert cleaned[0] == (docs[0][1], 0)
+    assert cleaned[3] == (docs[3][1], 0)  # untouched doc byte-identical
+    assert cleaned[1] == (" ".join(_w("r", 3) + _w("s", 2)), 20)
+    assert cleaned[2] == (" ".join(_w("t", 3)), 32)
+
+
+def test_adjacent_spans_merge(spark):
+    """Two duplicated runs that ABUT in the later doc merge into one span
+    (the interval-merge pass), and the cleaned text drops both."""
+    from distributed_web_crawler_spark.operators.dedup import (
+        duplicate_spans,
+        substring_dedup_clean,
+    )
+
+    s1, s2 = _w("m", L), _w("n", L)
+    docs = [
+        (0, " ".join(s1 + _w("x", 4))),
+        (1, " ".join(_w("y", 4) + s2)),
+        (2, " ".join(s1 + s2)),  # both spans, adjacent: 1..15 and 16..30
+    ]
+    import pandas as pd
+
+    df = spark.createDataFrame(pd.DataFrame(docs, columns=["doc_id", "text"]))
+    spans = {
+        (r["doc_id"], r["start_tok"], r["end_tok"])
+        for r in duplicate_spans(df, gram_len=L).collect()
+    }
+    assert spans == {(2, 1, 2 * L)}, spans
+    cleaned = {r["doc_id"]: r["text"] for r in substring_dedup_clean(df, gram_len=L).collect()}
+    assert cleaned[2] == ""
