@@ -84,7 +84,28 @@ def shingles(docs: DataFrame, n: int = SHINGLE) -> DataFrame:
     )
 
 
-def minhash_signatures(docs: DataFrame, k: int = N_MINHASHES, sh: DataFrame | None = None) -> DataFrame:
+def shingles_hashed(docs: DataFrame, n: int = SHINGLE) -> DataFrame:
+    """Distinct HASHED n-word shingles per doc: (doc_id, h) with
+    h = hash60(s) applied BEFORE the distinct (r9, guide §2.3 "shuffle
+    fewer bytes"): the dedup exchange then carries (long, long) rows
+    instead of (long, ~25-byte shingle string) — every downstream
+    consumer (MinHash h30 fold, set sizes, intersection join) only ever
+    needed the hash. Equivalent to hash60 over shingles() up to a 60-bit
+    collision WITHIN one doc (two distinct shingles of the same doc
+    colliding, ~n_shingles²/2⁶¹ ≈ 1e-15 per doc) — the same accepted
+    measure-zero class as the kernel rounding margins."""
+    return (
+        fan_out(docs)
+        .select("doc_id", F.explode(ngram_array(F.col("text"), n)).alias("s"))
+        .select("doc_id", hash60(F.col("s")).alias("h"))
+        .dropDuplicates(["doc_id", "h"])
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, k: int = N_MINHASHES, sh: DataFrame | None = None,
+    shh: DataFrame | None = None,
+) -> DataFrame:
     """k MinHash values per doc over 3-word shingles, affine universal-hash
     family h_i(s) = (a_i·h30(s) + b_i) mod P over ONE portable md5 base hash
     per shingle. (Hashing the shingle k separate times would cost k md5s per
@@ -99,17 +120,24 @@ def minhash_signatures(docs: DataFrame, k: int = N_MINHASHES, sh: DataFrame | No
     (set sizes) would cost this query its only wide-row shuffle (doc_id +
     shingle STRINGS) for zero effect on the signature. The plan is then
     explode → hash → one groupBy(doc_id) whose map-side partial agg
-    collapses each partition to ≤1 row per doc before the exchange."""
-    raw = (
-        fan_out(docs).select(
-            "doc_id", F.explode(ngram_array(F.col("text"), SHINGLE)).alias("s")
+    collapses each partition to ≤1 row per doc before the exchange.
+
+    `shh` (r9): an already-HASHED shingle frame (doc_id, h) — e.g. a
+    cached shingles_hashed() — used as-is (h30 = h & mask); MIN over the
+    distinct hashed set equals MIN over the raw stream."""
+    if shh is not None:
+        sh = shh.select("doc_id", F.col("h").bitwiseAND(F.lit(_MH_MASK)).alias("h30"))
+    else:
+        raw = (
+            fan_out(docs).select(
+                "doc_id", F.explode(ngram_array(F.col("text"), SHINGLE)).alias("s")
+            )
+            if sh is None
+            else sh
         )
-        if sh is None
-        else sh
-    )
-    sh = raw.select(
-        "doc_id", hash60(F.col("s")).bitwiseAND(F.lit(_MH_MASK)).alias("h30")
-    )
+        sh = raw.select(
+            "doc_id", hash60(F.col("s")).bitwiseAND(F.lit(_MH_MASK)).alias("h30")
+        )
     aggs = [
         F.min(F.pmod(F.lit(a) * F.col("h30") + F.lit(b), F.lit(_MH_P))).alias(f"h{i}")
         for i, (a, b) in enumerate(mh_coeffs(k))
@@ -119,32 +147,44 @@ def minhash_signatures(docs: DataFrame, k: int = N_MINHASHES, sh: DataFrame | No
 
 def minhash_lsh_pairs(
     docs: DataFrame, k: int = N_MINHASHES, rows_per_band: int = ROWS_PER_BAND,
-    sh: DataFrame | None = None,
+    sh: DataFrame | None = None, shh: DataFrame | None = None,
 ) -> DataFrame:
     """LSH banding: docs agreeing on all hashes of any band become candidate
     near-dup pairs — the scale path that avoids the quadratic compare.
     Band keys come out of ONE explode over the signature row (a per-band
-    union of selects would re-run the signature aggregate once per band)."""
-    sig = minhash_signatures(docs, k, sh=sh)
+    union of selects would re-run the signature aggregate once per band).
+
+    r9 (guide §2.3 "narrower types"): the band key used to be the ~40-byte
+    '_'-joined string of the band's hash values; each pair of hashes now
+    packs LOSSLESSLY into one long (h_lo·2³⁰ + h_hi, both < 2³⁰), so the
+    self-join key is (band int, k1 long, k2 long) — identical candidate
+    set (the packing is injective), far fewer exchange bytes and integer
+    instead of string hash/compare in the join."""
+    sig = minhash_signatures(docs, k, sh=sh, shh=shh)
     n_bands = k // rows_per_band
+    assert rows_per_band % 2 == 0, "packed band keys assume an even band width"
+
+    def _pack(i, j):
+        return (F.col(f"h{i}") * F.lit(1 << 30) + F.col(f"h{j}")).cast("long")
+
     band_arr = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.concat_ws(
-                    "_", *[F.col(f"h{b * rows_per_band + j}").cast("string") for j in range(rows_per_band)]
-                ).alias("key"),
+                _pack(b * rows_per_band, b * rows_per_band + 1).alias("k1"),
+                _pack(b * rows_per_band + 2, b * rows_per_band + 3).alias("k2"),
             )
             for b in range(n_bands)
         ]
     )
     bkeys = sig.select("doc_id", F.explode(band_arr).alias("bk")).select(
-        "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+        "doc_id", F.col("bk.band").alias("band"),
+        F.col("bk.k1").alias("k1"), F.col("bk.k2").alias("k2"),
     )
     a = bkeys.alias("a")
     b_ = bkeys.alias("b")
     return (
-        a.join(b_, ["band", "key"])
+        a.join(b_, ["band", "k1", "k2"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
         .dropDuplicates(["a_id", "b_id"])
@@ -175,17 +215,24 @@ def jaccard_verified_pairs(
     freed when the plan is GC'd: pass `persisted` (a list) to receive the
     handle and unpersist after the consuming action, or clear between runs
     with spark.catalog.clearCache() (what bench.py does) — repeated
-    callers in one session otherwise accumulate MEMORY_AND_DISK entries."""
-    sh = shingles(docs)
+    callers in one session otherwise accumulate MEMORY_AND_DISK entries.
+
+    r9 (guide §2.3): the cached frame is shingles_hashed — 8-byte hashes
+    replace shingle strings in the dedup exchange, the cache, the set
+    sizes and the intersection join key (collision analysis in
+    shingles_hashed's docstring; a cross-doc collision inflates one
+    candidate pair's intersection only if the colliding grams sit in the
+    two docs of one LSH-blocked pair, ≪ 1e-12 per corpus)."""
+    sh = shingles_hashed(docs)
     if cache_shingles:
         sh = sh.persist()
         if persisted is not None:
             persisted.append(sh)
-    cand = minhash_lsh_pairs(docs, k, rows_per_band, sh=sh)
+    cand = minhash_lsh_pairs(docs, k, rows_per_band, shh=sh)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     inter = (
-        cand.join(sh.select(F.col("doc_id").alias("a_id"), "s"), "a_id")
-        .join(sh.select(F.col("doc_id").alias("b_id"), "s"), ["b_id", "s"])
+        cand.join(sh.select(F.col("doc_id").alias("a_id"), "h"), "a_id")
+        .join(sh.select(F.col("doc_id").alias("b_id"), "h"), ["b_id", "h"])
         .groupBy("a_id", "b_id")
         .agg(F.count("*").alias("inter"))
     )
@@ -540,7 +587,17 @@ def substring_dedup_pairs(
 def _substring_shared(docs: DataFrame, gram_len: int, stride: int) -> DataFrame:
     """(a_id, b_id, pa, pb, diag) matched-gram positions shared by
     substring_dedup_pairs (run stats) and duplicate_spans (removal spans)
-    — one definition of the anchor join + extend-verify."""
+    — one definition of the anchor join + extend-verify.
+
+    r9 (guide §2.3 "shuffle fewer bytes"; r8 verdict Next #3): the join
+    used to carry the full L-token gram STRING on BOTH sides purely for
+    post-join equality verification — at gram_len 50 that is ~10-30× the
+    bytes of the 8-byte key, the dominant shuffle cost at 100 TB. The
+    verification channel is now a SECOND independent 64-bit hash
+    (xxhash64 over a salted input): a pair survives iff both channels
+    agree, so a fabricated match needs a simultaneous 128-bit collision
+    (2⁻¹²⁸ — the same practical guarantee as text equality), and the
+    exchange rows shrink to (long id, long pos, 2×long hash)."""
     grams = fan_out(docs).select(
         "doc_id",
         F.posexplode(ngram_array(F.col("text"), gram_len)).alias("pos0", "gram"),
@@ -548,19 +605,19 @@ def _substring_shared(docs: DataFrame, gram_len: int, stride: int) -> DataFrame:
         "doc_id",
         (F.col("pos0") + 1).alias("pos"),
         F.xxhash64("gram").alias("gh"),
-        "gram",
+        F.xxhash64(F.lit("ss2-salt"), "gram").alias("gh2"),
     )
 
     def side(g, p):
         return g.select(
             F.col("doc_id").alias(f"{p}_id"), F.col("pos").alias(f"p{p}"),
-            "gh", F.col("gram").alias(f"gram_{p}"),
+            "gh", F.col("gh2").alias(f"gh2_{p}"),
         )
 
     def shared_pairs(left, right):
         return (
             left.join(right, "gh")
-            .filter((F.col("a_id") < F.col("b_id")) & (F.col("gram_a") == F.col("gram_b")))
+            .filter((F.col("a_id") < F.col("b_id")) & (F.col("gh2_a") == F.col("gh2_b")))
             .select("a_id", "b_id", "pa", "pb", (F.col("pa") - F.col("pb")).alias("diag"))
         )
 

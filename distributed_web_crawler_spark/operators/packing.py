@@ -93,7 +93,9 @@ def sequence_pack(docs: DataFrame, seq_len: int = 2048) -> DataFrame:
     )
 
 
-def domain_mix_weights(docs: DataFrame, targets: dict[str, float]) -> DataFrame:
+def domain_mix_weights(
+    docs: DataFrame, targets: dict[str, float], persisted: list | None = None
+) -> DataFrame:
     """Per-document sampling weight that rebalances the corpus toward a
     target language mix (the data-mixture step of a training pipeline:
     weight = target_share / actual_share of the doc's stratum, so
@@ -101,14 +103,28 @@ def domain_mix_weights(docs: DataFrame, targets: dict[str, float]) -> DataFrame:
     target dict does not name get weight 0 (dropped from the mix).
 
     Scale shape: one tiny groupBy(language) aggregate (≤ languages rows,
-    broadcast back) + a narrow map — no wide shuffle of the corpus."""
+    broadcast back) + a narrow map — no wide shuffle of the corpus.
+
+    r9 (guide §1.2 "don't compute things twice"): the lang-guess
+    projection — the expensive part, a tokenize + 4 marker-set filters
+    per doc — used to be evaluated THREE times (a separate count() for
+    the total, the shares aggregate, and the final join's left side;
+    Catalyst does not share subplans across actions/branches). Now it is
+    persisted once and the total comes from summing the tiny per-language
+    counts (identical integer, so actual_share's double division is
+    bit-identical). Pass `persisted` (a list) to receive the cache handle
+    for cleanup after the consuming action (same contract as
+    dedup.jaccard_verified_pairs)."""
     from .textstats import lang_guess_col
 
-    lang = docs.select("doc_id", lang_guess_col(F.col("text")).alias("language"))
-    total = lang.count()
-    shares = lang.groupBy("language").agg(
-        (F.count("*") / F.lit(total)).alias("actual_share")
-    )
+    lang = docs.select("doc_id", lang_guess_col(F.col("text")).alias("language")).persist()
+    if persisted is not None:
+        persisted.append(lang)
+    counts = lang.groupBy("language").agg(F.count("*").alias("_n"))
+    shares = counts.withColumn(
+        "actual_share",
+        F.col("_n") / F.sum("_n").over(Window.partitionBy()),
+    ).select("language", "actual_share")
     spark = docs.sparkSession
     tgt = spark.createDataFrame(
         [(k, float(v)) for k, v in sorted(targets.items())],

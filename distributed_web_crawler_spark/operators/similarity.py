@@ -299,38 +299,105 @@ def embedding_dedup_pairs(
     band_planes: int = 6,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs, BANDED sign-LSH (MinHash-LSH style):
-    each vector gets n_bands keys of band_planes sign bits each (one
-    vectorized pandas pass, see band_keys); candidates are pairs sharing
-    ANY band key, deduped, then exact-cosine verified ≥ threshold.
+    each vector gets n_bands keys of band_planes sign bits each; a pair is
+    reported iff it shares ANY band key AND its exact cosine rounds to
+    ≥ threshold at 2 dp.
 
-    Scale shape: banding bounds the compare set twice over — a band bucket
-    holds ≈ N/2^band_planes vectors, and a true near-dup pair collides with
-    probability 1-(1-p^r)^B (p = per-plane agreement, r = band_planes,
-    B = n_bands), tunable without widening any single bucket (a single
-    8-plane bucket was the r2 verdict's all-pairs-within-bucket liability).
-    Only (vec_id, band, key) rides the candidate shuffle; vectors join back
-    BY ID for the verify step, so embeddings never ride the explode."""
-    e = embeddings.select(
-        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("e")
+    r9 restructure (guide §8 "decide with small rows, move heavy rows
+    once" + §4.2 batch-native math). The old plan self-joined the
+    (vec_id, band, key) frame — materializing EVERY within-bucket pair
+    (Σ C(bucket,2) ≈ B·N²/2^r rows) through a join + distinct + two
+    embedding joins + an interpreted per-pair zip_with/aggregate cosine:
+    34 s at sf1.0, growing quadratically. Now each (band, key) bucket is
+    verified LOCALLY: the embedding rides the band shuffle once
+    (B·N rows — linear, vs the old quadratic candidate exchange), one
+    BLAS gram matrix per bucket scores all within-bucket pairs, a
+    conservative margin (threshold − 0.006, i.e. strictly below the
+    2-dp round-up boundary at threshold − 0.005) prefilters, and ONLY
+    survivors (a handful) are emitted — re-scored with the exact
+    LEFT-FOLD dot/norm arithmetic of the previous JVM expression
+    (_seq_dot), so surviving cos doubles are bit-identical to the old
+    plan and to the oracle. Cross-band duplicates collapse in a final
+    distinct over the rounded output (a survivor's left-fold cos is
+    deterministic, so duplicates are exact). The matmul-vs-left-fold
+    association delta (~1e-15) is orders below the 1e-3 margin, so the
+    prefilter can neither drop nor add a survivor.
+
+    Scale shape: banding still bounds the compare set (bucket ≈
+    N/2^band_planes, recall 1-(1-p^r)^B); the only wide exchange carries
+    B·N (id, key, vector) rows — strictly fewer bytes than the old
+    candidate-pair shuffle whenever buckets hold ≥ ~3 vectors, and the
+    quadratic surface is now bucket-local compute (SemDeDup-style
+    within-cell verification), never a shuffle."""
+    import numpy as np
+
+    n_planes = n_bands * band_planes
+    margin = float(threshold) - 0.006
+
+    def bk_with_vec(batches):
+        import pandas as pd
+
+        pm = np.array([hyperplane(dim, p) for p in range(n_planes)]).T  # (dim, P)
+        weights = 1 << np.arange(band_planes, dtype=np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            E = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+            bits = (_round6_half_away(E @ pm) > 0).astype(np.int64)  # (n, P)
+            keys = bits.reshape(len(E), n_bands, band_planes) @ weights  # (n, B)
+            rows = E.tolist()
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), n_bands),
+                    "band": np.tile(np.arange(n_bands, dtype=np.int32), len(E)),
+                    "key": keys.reshape(-1).astype(np.int32),
+                    "embedding": [r for r in rows for _ in range(n_bands)],
+                }
+            )
+
+    bke = embeddings.select("vec_id", "embedding").mapInPandas(
+        bk_with_vec,
+        schema="vec_id long, band int, key int, embedding array<double>",
     )
-    bk = band_keys(
-        embeddings.select("vec_id", "embedding"), dim, n_bands, band_planes
+
+    def verify(pdf):
+        import pandas as pd
+
+        cols = ["a_id", "b_id", "cos"]
+        empty = pd.DataFrame(
+            {
+                "a_id": pd.Series(dtype="int64"),
+                "b_id": pd.Series(dtype="int64"),
+                "cos": pd.Series(dtype="float64"),
+            }
+        )
+        if len(pdf) < 2:
+            return empty
+        order = np.argsort(pdf["vec_id"].to_numpy(), kind="stable")
+        ids = pdf["vec_id"].to_numpy()[order]
+        E = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])[order]
+        nrm = np.sqrt((E * E).sum(axis=1))
+        C = (E @ E.T) / np.outer(nrm, nrm)
+        iu, ju = np.triu_indices(len(ids), 1)
+        sel = C[iu, ju] >= margin
+        import math
+
+        out = []
+        for i, j in zip(iu[sel], ju[sel]):
+            a, b = E[i], E[j]
+            # exact left-fold arithmetic of the old JVM expression:
+            # dot(a,b) / (sqrt(dot(a,a)) * sqrt(dot(b,b))), all IEEE double
+            cos = _seq_dot(a, b) / (math.sqrt(_seq_dot(a, a)) * math.sqrt(_seq_dot(b, b)))
+            out.append((int(ids[i]), int(ids[j]), cos))
+        return pd.DataFrame(out, columns=cols) if out else empty
+
+    pairs = bke.groupBy("band", "key").applyInPandas(
+        verify, schema="a_id long, b_id long, cos double"
     )
-    cand = (
-        bk.alias("a")
-        .join(bk.alias("b"), ["band", "key"])
-        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(F.col("a.vec_id").alias("a_id"), F.col("b.vec_id").alias("b_id"))
-        .distinct()
-    )
-    ea = e.select(F.col("vec_id").alias("a_id"), F.col("e").alias("ea"))
-    eb = e.select(F.col("vec_id").alias("b_id"), F.col("e").alias("eb"))
-    cos = _dot(F.col("ea"), F.col("eb")) / (_norm(F.col("ea")) * _norm(F.col("eb")))
     return (
-        cand.join(ea, "a_id")
-        .join(eb, "b_id")
-        .select("a_id", "b_id", F.round(cos, 2).alias("sim_bucket2"))
+        pairs.select("a_id", "b_id", F.round("cos", 2).alias("sim_bucket2"))
         .filter(F.col("sim_bucket2") >= threshold)
+        .distinct()
     )
 
 

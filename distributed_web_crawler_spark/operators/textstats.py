@@ -107,8 +107,7 @@ def contamination_report(
     for large suites), so it BROADCASTS and the check is one map-side
     semi-join over the training shingles — no shuffle of the corpus, the
     same shape production decontamination runs at 100 TB."""
-    from .dedup import shingles
-    from ..functions.portable_hash import hash60
+    from .dedup import shingles_hashed
 
     # persisted: Catalyst does not reuse the shingle subplan across the
     # eval-grams branch and the training-hits branch — without the cache
@@ -116,7 +115,11 @@ def contamination_report(
     # dedup.jaccard_verified_pairs' cache_shingles). The CacheManager holds
     # the entry until unpersist/clearCache: pass `persisted` (a list) to
     # receive the handle for cleanup after the consuming action.
-    sh = shingles(docs, n).select("doc_id", hash60(F.col("s")).alias("g")).persist()
+    # r9: shingles_hashed hashes BEFORE the distinct (guide §2.3) — the
+    # dedup exchange and the cache carry 8-byte hashes, not gram strings;
+    # this query already reduced to hash60 immediately after, so the only
+    # semantic delta is the within-doc collision class documented there.
+    sh = shingles_hashed(docs, n).select("doc_id", F.col("h").alias("g")).persist()
     if persisted is not None:
         persisted.append(sh)
     is_eval = F.pmod(F.col("doc_id"), F.lit(eval_mod)) == 0

@@ -71,19 +71,37 @@ def _order_part_edges(li: DataFrame) -> DataFrame:
     not be able to drift). No global edge dedup: bfs's per-round target
     dedup makes it redundant (duplicate edges cannot change
     first-discovery depths), and pagerank counts multiplicity by design
-    (matching its oracle's UNION ALL)."""
+    (matching its oracle's UNION ALL).
+
+    r9: node keys are INTEGER-ENCODED (order k → 2k, part k → 2k+1;
+    guide §2.3 "narrower types") — every per-iteration shuffle, sort and
+    hash in bfs/pagerank then runs on 8-byte longs instead of 'o123'
+    strings; _url_of decodes back to the exact url strings once, in the
+    O(nodes) final projection, so results are unchanged."""
     fwd = li.select(
-        F.concat(F.lit("o"), F.col("l_orderkey")).alias("src"),
-        F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"),
+        (F.col("l_orderkey") * 2).alias("src"),
+        (F.col("l_partkey") * 2 + 1).alias("dst"),
     )
     return fwd.unionByName(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+
+
+def _url_of(key):
+    """Decode the integer node key back to the public url string
+    ('o<orderkey>' / 'p<partkey>') — applied once in final projections."""
+    k = F.col(key) if isinstance(key, str) else key
+    return F.concat(
+        F.when(k.bitwiseAND(F.lit(1)) == 0, F.lit("o")).otherwise(F.lit("p")),
+        F.shiftright(k, 1).cast("string"),
+    )
 
 
 def q_bfs_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _order_part_edges(_t(spark, sf_dir, "lineitem"))
     seed_key = _t(spark, sf_dir, "orders").agg(F.min("o_orderkey")).collect()[0][0]
-    seed = spark.createDataFrame([(f"o{seed_key}",)], "url string")
-    return bfs(edges, seed, BFS_DEPTH).select("url", F.col("depth").cast("int").alias("depth"))
+    seed = spark.createDataFrame([(int(seed_key) * 2,)], "url long")
+    return bfs(edges, seed, BFS_DEPTH).select(
+        _url_of("url").alias("url"), F.col("depth").cast("int").alias("depth")
+    )
 
 
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -97,7 +115,7 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     edges = _order_part_edges(_t(spark, sf_dir, "lineitem"))
     pr = pagerank(edges, n_iters=PAGERANK_ITERS, damping=PAGERANK_D)
-    return pr.select("url", F.round("rank", 6).alias("rank"))
+    return pr.select(_url_of("url").alias("url"), F.round("rank", 6).alias("rank"))
 
 
 _STAGE_SEQ = iter(range(1, 1 << 30))
@@ -128,17 +146,19 @@ def q_pagerank_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sql(f"DROP TABLE IF EXISTS {stage_name}")
         open(os.path.join(staging, "_SUCCESS"), "w").close()
 
-    path = _ensure_layout(spark, sf_dir, "pr_bucketed", build, src_table="lineitem")
+    # layout name carries the i64 key encoding (r9): a schema change must
+    # never silently reuse a cached layout built with the old string keys
+    path = _ensure_layout(spark, sf_dir, "pr_bucketed_i64", build, src_table="lineitem")
     tag = os.path.basename(path).rsplit("_", 1)[-1]
-    name = f"pr_edges_{tag}"
+    name = f"pr_edges_i64_{tag}"
     if not spark.catalog.tableExists(name):
         spark.sql(
-            f"CREATE TABLE {name} (src STRING, dst STRING, w DOUBLE) USING parquet "
+            f"CREATE TABLE {name} (src BIGINT, dst BIGINT, w DOUBLE) USING parquet "
             f"CLUSTERED BY (src) SORTED BY (src) INTO 16 BUCKETS "
             f"LOCATION '{os.path.join(path, 'e')}'"
         )
     pr = pagerank_on_table(spark, name, n_iters=PAGERANK_ITERS, damping=PAGERANK_D)
-    return pr.select("url", F.round("rank", 6).alias("rank"))
+    return pr.select(_url_of("url").alias("url"), F.round("rank", 6).alias("rank"))
 
 
 PAGERANK_ITERS = 3
@@ -158,11 +178,15 @@ def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = _t(spark, sf_dir, "lineitem")
     edges = li.select(
-        F.concat(F.lit("o"), F.col("l_orderkey")).alias("src"),
-        F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"),
+        (F.col("l_orderkey") * 2).alias("src"),
+        (F.col("l_partkey") * 2 + 1).alias("dst"),
     )
     h = hits(edges, n_iters=HITS_ITERS)
-    return h.select("url", F.round("hub", 6).alias("hub"), F.round("auth", 6).alias("auth"))
+    return h.select(
+        _url_of("url").alias("url"),
+        F.round("hub", 6).alias("hub"),
+        F.round("auth", 6).alias("auth"),
+    )
 
 
 def q_hits_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -180,8 +204,8 @@ def q_hits_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         stage_name = f"hits_edges_stage_{os.getpid()}_{next(_STAGE_SEQ)}"
         li = _t(spark, sf_dir, "lineitem")
         edges = li.select(
-            F.concat(F.lit("o"), F.col("l_orderkey")).alias("src"),
-            F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"),
+            (F.col("l_orderkey") * 2).alias("src"),
+            (F.col("l_partkey") * 2 + 1).alias("dst"),
         )
         write_edges_dual_bucketed(
             edges, stage_name, n_buckets=16, base_path=os.path.join(staging, "e")
@@ -190,19 +214,24 @@ def q_hits_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.sql(f"DROP TABLE IF EXISTS {stage_name}{sfx}")
         open(os.path.join(staging, "_SUCCESS"), "w").close()
 
-    path = _ensure_layout(spark, sf_dir, "hits_bucketed", build, src_table="lineitem")
+    # i64 layout name: see q_pagerank_bucketed
+    path = _ensure_layout(spark, sf_dir, "hits_bucketed_i64", build, src_table="lineitem")
     tag = os.path.basename(path).rsplit("_", 1)[-1]
-    base = f"hits_edges_{tag}"
+    base = f"hits_edges_i64_{tag}"
     for sfx in ("_src", "_dst"):
         key = sfx[1:]
         if not spark.catalog.tableExists(base + sfx):
             spark.sql(
-                f"CREATE TABLE {base}{sfx} (src STRING, dst STRING) USING parquet "
+                f"CREATE TABLE {base}{sfx} (src BIGINT, dst BIGINT) USING parquet "
                 f"CLUSTERED BY ({key}) SORTED BY ({key}) INTO 16 BUCKETS "
                 f"LOCATION '{os.path.join(path, 'e')}{sfx}'"
             )
     h = hits_on_tables(spark, base, n_iters=HITS_ITERS)
-    return h.select("url", F.round("hub", 6).alias("hub"), F.round("auth", 6).alias("auth"))
+    return h.select(
+        _url_of("url").alias("url"),
+        F.round("hub", 6).alias("hub"),
+        F.round("auth", 6).alias("auth"),
+    )
 
 
 def _layout_union(variants) -> Callable[[SparkSession, str], DataFrame]:
@@ -485,7 +514,10 @@ def q_domain_mix_weights(spark, sf_dir):
     get 0). One tiny broadcast aggregate — no corpus shuffle."""
     from .operators.packing import domain_mix_weights
 
-    return domain_mix_weights(_t(spark, sf_dir, "documents"), MIX_TARGETS)
+    return domain_mix_weights(
+        _t(spark, sf_dir, "documents"), MIX_TARGETS,
+        persisted=_swap_persisted("domain_mix_weights"),
+    )
 
 
 def q_stratified_sample(spark, sf_dir):
@@ -728,40 +760,40 @@ def q_anchor_text_index(spark, sf_dir):
     carries no per-link text column) — the OPERATOR shape is the point:
     per-target distinct-token aggregation across incoming links.
 
-    100-TB shape: the anchor-source dimension broadcasts (part is the
-    small side of the o→p link fact), tokens are produced JVM-side
-    (split + array_distinct + explode Generate — no Python), and the
-    distinct-counting aggregate takes the standard two-level shape —
-    partial-aggregate on (url, src_page), exchange, then the url-level
-    merge — every level map-side combined (collect_set buffers merge
-    partially; anchor vocabularies per URL are bounded in practice).
-    The top-5 render is a comma-joined STRING, not an array — arrays
-    can't cross the driver's pandas canonicalizer (the kmeans r6
-    lesson). Plan-asserted in tests/test_plans.py."""
+    100-TB shape (r9 rewrite — guide §2.3/§2.4 "shuffle fewer bytes /
+    remove shuffles"): the anchor text here is a pure FUNCTION OF THE
+    TARGET (the fixture's per-link text is the target's p_name words),
+    so the per-(url, src_page, token) explode over the fact side is
+    algebraically redundant — every lineitem row of a part contributes
+    the identical token set. The query therefore (a) tokenizes once per
+    PART on the dim side and keeps only parts with ≥1 qualifying token,
+    (b) counts distinct linking pages per part over the RAW fact rows
+    (two-level countDistinct agg, no Generate in the plan, the exchange
+    carries (int, int) pairs instead of exploded token strings — ~5×
+    fewer exchange rows), and (c) broadcast-joins the per-part token
+    list back AFTER the aggregate, rendering the top-5 as the same
+    comma-joined STRING (arrays can't cross the driver's pandas
+    canonicalizer — the kmeans r6 lesson). Identical results: a url row
+    exists iff the part has ≥1 token of length ≥3 (otherwise the old
+    explode emitted nothing), n_link_pages never depended on WHICH
+    token qualified, and sort_array(collect_set(token)) over identical
+    per-row token sets is exactly the sorted distinct token list.
+    Plan-asserted in tests/test_plans.py."""
     li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_orderkey")
-    # tokenize ON THE DIM SIDE, before the broadcast: the regex split +
-    # lower + array_distinct run once per PART (20k rows at sf0.1), not
-    # once per joined lineitem row (600k) — at 100 TB the fact side is
-    # 10^10 rows and the dim-side evaluation is ~free. Measured 1.24×
-    # on the warm query (min-of-3 interleaved, identical results).
     part = _t(spark, sf_dir, "part").select(
         "p_partkey",
-        F.array_distinct(F.split(F.lower(F.col("p_name")), "[^a-z]+")).alias("_toks"),
+        F.filter(
+            F.array_distinct(F.split(F.lower(F.col("p_name")), "[^a-z]+")),
+            lambda t: F.length(t) >= 3,
+        ).alias("_toks"),
+    ).filter(F.size("_toks") > 0)
+    cnt = li.groupBy("l_partkey").agg(
+        F.countDistinct("l_orderkey").cast("long").alias("n_link_pages")
     )
-    toks = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .select(
-            F.concat(F.lit("p"), F.col("l_partkey")).alias("url"),
-            F.col("l_orderkey").alias("src_page"),
-            F.explode("_toks").alias("token"),
-        )
-        .filter(F.length("token") >= 3)
-    )
-    return toks.groupBy("url").agg(
-        F.countDistinct("src_page").cast("long").alias("n_link_pages"),
-        F.array_join(
-            F.slice(F.sort_array(F.collect_set("token")), 1, 5), ","
-        ).alias("top_tokens"),
+    return cnt.join(F.broadcast(part), cnt.l_partkey == part.p_partkey).select(
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("url"),
+        "n_link_pages",
+        F.array_join(F.slice(F.sort_array("_toks"), 1, 5), ",").alias("top_tokens"),
     )
 
 
