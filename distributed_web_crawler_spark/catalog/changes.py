@@ -74,6 +74,14 @@ def changes_pdf(
           if (start_version is None or v > start_version)
           and (end_version is None or v <= end_version)]
     prev_v: Optional[int] = None
+    chunks: List[pd.DataFrame] = []
+
+    def _block(rows: pd.DataFrame, v: int, op: str) -> pd.DataFrame:
+        d = rows.reset_index(drop=True).copy()
+        d.insert(0, "_op", op)
+        d.insert(0, "_version", v)
+        return d
+
     if start_version is not None and start_version in snaps:
         prev = read_version(table, start_version)
         prev_v = start_version
@@ -103,13 +111,16 @@ def changes_pdf(
                     "must re-baseline from a full snapshot read"
                 )
         prev = None
-    out = []
     for v in vs:
         cur = _advance(table, v, prev_v, prev)
         prev_v = v
         if prev is None:
-            for _, row in cur.iterrows():
-                out.append({"_version": v, "_op": "insert", **row.to_dict()})
+            # r9: emitted as one vectorized block (the per-row
+            # iterrows/to_dict loop cost O(rows) Python dict builds —
+            # seconds at 10^4+ rows); row order (= snapshot order) and
+            # content are unchanged
+            if len(cur):
+                chunks.append(_block(cur, v, "insert"))
         else:
             # vectorized three-way diff on the key index — the per-key
             # boolean-mask scans this replaces were O(rows²) per version
@@ -140,16 +151,28 @@ def changes_pdf(
                 # common case vectorized.
                 eq = _rows_equal(a[cur.columns], b[cur.columns])
                 upd_k = a.index[~eq]
-            for k in sorted(ins_k, key=str):
-                out.append({"_version": v, "_op": "insert", **ci.loc[k].to_dict()})
-            for k in sorted(del_k, key=str):
-                out.append({"_version": v, "_op": "delete", **pi.loc[k].to_dict()})
-            for k in sorted(upd_k, key=str):
-                out.append({"_version": v, "_op": "update_pre", **a.loc[k].to_dict()})
-                out.append({"_version": v, "_op": "update_post", **b.loc[k].to_dict()})
+            # r9: vectorized block emission — identical rows in the
+            # identical order (inserts then deletes, each sorted by
+            # str(key); updates sorted by str(key) with pre/post
+            # interleaved PER KEY, preserved via an even/odd index merge)
+            ks_ins = sorted(ins_k, key=str)
+            ks_del = sorted(del_k, key=str)
+            ks_upd = sorted(upd_k, key=str)
+            if ks_ins:
+                chunks.append(_block(ci.loc[ks_ins], v, "insert"))
+            if ks_del:
+                chunks.append(_block(pi.loc[ks_del], v, "delete"))
+            if ks_upd:
+                pre = _block(a.loc[ks_upd], v, "update_pre")
+                post = _block(b.loc[ks_upd], v, "update_post")
+                pre.index = range(0, 2 * len(ks_upd), 2)
+                post.index = range(1, 2 * len(ks_upd), 2)
+                chunks.append(pd.concat([pre, post]).sort_index().reset_index(drop=True))
         prev = cur
     cols = ["_version", "_op"] + [c for c in (prev.columns if prev is not None else [])]
-    return pd.DataFrame(out, columns=cols if out else ["_version", "_op"])
+    if not chunks:
+        return pd.DataFrame(columns=cols if prev is not None else ["_version", "_op"])
+    return pd.concat(chunks, ignore_index=True)[cols]
 
 
 def _cell_eq(x, y) -> bool:

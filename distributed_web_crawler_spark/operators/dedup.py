@@ -148,6 +148,7 @@ def minhash_signatures(
 def minhash_lsh_pairs(
     docs: DataFrame, k: int = N_MINHASHES, rows_per_band: int = ROWS_PER_BAND,
     sh: DataFrame | None = None, shh: DataFrame | None = None,
+    persisted: list | None = None,
 ) -> DataFrame:
     """LSH banding: docs agreeing on all hashes of any band become candidate
     near-dup pairs — the scale path that avoids the quadratic compare.
@@ -181,6 +182,14 @@ def minhash_lsh_pairs(
         "doc_id", F.col("bk.band").alias("band"),
         F.col("bk.k1").alias("k1"), F.col("bk.k2").alias("k2"),
     )
+    # r9: persist the band keys before the self-join — Catalyst plans an
+    # aliased subtree TWICE, so without the cache the whole signature
+    # aggregation (the expensive upstream) ran once per join side
+    # (observed: 12 InMemoryTableScans / 8 Generates in the r8 plan).
+    # O(n_bands · docs) narrow rows — cache-friendly at any scale.
+    bkeys = bkeys.persist()
+    if persisted is not None:
+        persisted.append(bkeys)
     a = bkeys.alias("a")
     b_ = bkeys.alias("b")
     return (
@@ -228,16 +237,36 @@ def jaccard_verified_pairs(
         sh = sh.persist()
         if persisted is not None:
             persisted.append(sh)
-    cand = minhash_lsh_pairs(docs, k, rows_per_band, shh=sh)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    cand = minhash_lsh_pairs(docs, k, rows_per_band, shh=sh, persisted=persisted)
+    # sizes referenced by BOTH final joins — persist so the shingle-count
+    # aggregate over the 50×-larger cache runs once (aliased subtrees are
+    # planned independently); O(docs) narrow rows
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh")).persist()
+    if persisted is not None:
+        persisted.append(sizes)
+    # r9 intersection shape (guide §3.1/§3.2): `cand` is the LSH-gated
+    # candidate set — orders of magnitude smaller than the shingle table —
+    # so it BROADCASTS into a hash join that streams the cached shingles
+    # with no shuffle and no sort (the default planner picked sort-merge:
+    # two full sorts of the shingle cache per run). The second join
+    # broadcasts the (candidate × a-shingles) frame, still bounded by
+    # |cand| · shingles-per-doc ≪ corpus; at a scale where that outgrows
+    # a broadcast, this degrades to the old shuffle join by removing the
+    # hints — the candidate volume guarantee itself is unchanged.
     inter = (
-        cand.join(sh.select(F.col("doc_id").alias("a_id"), "h"), "a_id")
+        F.broadcast(
+            F.broadcast(cand)
+            .join(sh.select(F.col("doc_id").alias("a_id"), "h"), "a_id")
+        )
         .join(sh.select(F.col("doc_id").alias("b_id"), "h"), ["b_id", "h"])
         .groupBy("a_id", "b_id")
         .agg(F.count("*").alias("inter"))
     )
+    j1 = F.broadcast(inter).join(
+        sizes.select(F.col("doc_id").alias("a_id"), F.col("n_sh").alias("na")), "a_id"
+    )
     return (
-        inter.join(sizes.select(F.col("doc_id").alias("a_id"), F.col("n_sh").alias("na")), "a_id")
+        F.broadcast(j1)
         .join(sizes.select(F.col("doc_id").alias("b_id"), F.col("n_sh").alias("nb")), "b_id")
         .withColumn("jaccard", F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4))
         .filter(F.col("jaccard") >= threshold)
@@ -615,8 +644,11 @@ def _substring_shared(docs: DataFrame, gram_len: int, stride: int) -> DataFrame:
         )
 
     def shared_pairs(left, right):
+        # shuffled-hash (guide §3.1): the default sort-merge self-join
+        # sorted BOTH O(grams) sides; SHJ streams one side and builds a
+        # per-partition map on the other — no sort, same exchange
         return (
-            left.join(right, "gh")
+            left.join(right.hint("shuffle_hash"), "gh")
             .filter((F.col("a_id") < F.col("b_id")) & (F.col("gh2_a") == F.col("gh2_b")))
             .select("a_id", "b_id", "pa", "pb", (F.col("pa") - F.col("pb")).alias("diag"))
         )

@@ -107,13 +107,29 @@ def hits_on_tables(
 def iteration_inflow(edges: DataFrame, outflow: DataFrame) -> DataFrame:
     """ONE inflow step: edges ⋈ hub scores BY src, aggregated by dst.
     Split out so plan audits can assert the join shape against the
-    src-bucketed layout without running a full hits()."""
-    return edges.join(outflow, "src").groupBy("dst").agg(F.sum("hub").alias("auth"))
+    src-bucketed layout without running a full hits().
+
+    r9 (guide §3.1): the score side is hinted SHUFFLE_HASH — the default
+    sort-merge join re-sorts the O(edges) side every iteration (the
+    bucketed layout removes only its Exchange); a shuffled-hash join
+    builds on the O(nodes) score side and streams edges unsorted. The
+    iteration stays integer-exact (sums of integers in double), so the
+    different row order cannot change a single output bit."""
+    return (
+        edges.join(outflow.hint("shuffle_hash"), "src")
+        .groupBy("dst")
+        .agg(F.sum("hub").alias("auth"))
+    )
 
 
 def iteration_outflow(edges: DataFrame, inflow: DataFrame) -> DataFrame:
-    """ONE outflow step: edges ⋈ auth scores BY dst, aggregated by src."""
-    return edges.join(inflow, "dst").groupBy("src").agg(F.sum("auth").alias("hub"))
+    """ONE outflow step: edges ⋈ auth scores BY dst, aggregated by src
+    (shuffled-hash on the score side — see iteration_inflow)."""
+    return (
+        edges.join(inflow.hint("shuffle_hash"), "dst")
+        .groupBy("src")
+        .agg(F.sum("auth").alias("hub"))
+    )
 
 
 def _node_set(edges: DataFrame) -> DataFrame:
@@ -160,8 +176,8 @@ def _iterate(
             inflow = inflow.persist()
         outflow = st.step(iteration_outflow(edges_for_outflow, inflow), it)
     proj = (
-        nodes.join(outflow.withColumnRenamed("src", "url"), "url", "left")
-        .join(inflow.withColumnRenamed("dst", "url"), "url", "left")
+        nodes.join(outflow.withColumnRenamed("src", "url").hint("shuffle_hash"), "url", "left")
+        .join(inflow.withColumnRenamed("dst", "url").hint("shuffle_hash"), "url", "left")
         .select(
             "url",
             F.coalesce(F.col("hub"), F.lit(0.0)).alias("hub"),

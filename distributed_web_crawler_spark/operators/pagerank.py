@@ -76,9 +76,18 @@ def pagerank(
 def iteration_contribs(contrib_edges: DataFrame, ranks: DataFrame) -> DataFrame:
     """ONE power-iteration inflow: contribution edges ⋈ ranks (by src),
     aggregated by dst. Split out so plan audits can assert the join shape
-    against a bucketed edge layout without running a full pagerank."""
+    against a bucketed edge layout without running a full pagerank.
+
+    r9 (guide §3.1 "pick the strategy deliberately"): the rank side is
+    hinted SHUFFLE_HASH — the planner's default sort-merge join re-SORTS
+    the O(edges) side every iteration (the bucketed layout only removes
+    its Exchange, not the sort, since bucketedTableScan.outputOrdering is
+    off), while a shuffled-hash join builds on the O(nodes) rank side
+    (bounded per partition) and streams edges with no sort at all."""
     return (
-        contrib_edges.join(ranks.withColumnRenamed("url", "src"), "src")
+        contrib_edges.join(
+            ranks.withColumnRenamed("url", "src").hint("shuffle_hash"), "src"
+        )
         .groupBy("dst")
         .agg(F.sum(F.col("rank") * F.col("w")).alias("inflow"))
     )
@@ -91,7 +100,11 @@ def _power_iterate(nodes, contrib_edges, n, n_iters, damping, checkpoint_every):
     for it in range(1, n_iters + 1):
         contribs = iteration_contribs(contrib_edges, ranks)
         ranks = st.step(
-            nodes.join(contribs.withColumnRenamed("dst", "url"), "url", "left").select(
+            nodes.join(
+                contribs.withColumnRenamed("dst", "url").hint("shuffle_hash"),
+                "url",
+                "left",
+            ).select(
                 "url",
                 (F.lit(base) + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0))).alias(
                     "rank"
@@ -106,7 +119,9 @@ def contrib_edges_of(edges: DataFrame) -> DataFrame:
     """(src, dst, w=1/outdeg(src)) — the projection every iteration joins.
     Built once per graph; at scale this is what gets written bucketed."""
     deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
-    return edges.join(deg, "src").select(
+    # shuffled-hash: build on the O(nodes) degree side, stream the edges
+    # unsorted (the default SMJ would sort the full edge set — guide §3.1)
+    return edges.join(deg.hint("shuffle_hash"), "src").select(
         "src", "dst", (F.lit(1.0) / F.col("outdeg")).alias("w")
     )
 

@@ -279,9 +279,19 @@ def q_frontier_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_depth_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
+    # collect LONG ids and stringify in the final projection (r9, guide
+    # §2.3 narrower types): the two-level collect_set aggregation then
+    # buffers/merges/exchanges 8-byte longs instead of boxed strings;
+    # sorting the string-transformed array afterwards is byte-identical
+    # to collecting strings (same lexicographic order, same join)
     return ev.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("n_users"),
-        F.array_join(F.sort_array(F.collect_set(F.col("user_id").cast("string"))), ",").alias("users_csv"),
+        F.array_join(
+            F.sort_array(
+                F.transform(F.collect_set("user_id"), lambda x: x.cast("string"))
+            ),
+            ",",
+        ).alias("users_csv"),
     )
 
 
@@ -391,7 +401,10 @@ def q_minhash_signature(spark, sf_dir):
 
 
 def q_minhash_lsh_pairs(spark, sf_dir):
-    return D.minhash_lsh_pairs(_t(spark, sf_dir, "documents"))
+    return D.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"),
+        persisted=_swap_persisted("minhash_lsh_pairs"),
+    )
 
 
 def q_jaccard_verified_pairs(spark, sf_dir):

@@ -63,9 +63,12 @@ def test_dual_bucketed_iteration_has_no_edge_side_exchange(spark, tmp_path):
         n_ex_flat = len(re.findall(r"Exchange hashpartitioning", flat))
         assert n_ex == 2, plan
         assert n_ex_flat > n_ex, (key, n_ex, n_ex_flat)
-        # sortBy pre-sorts each bucket: the join needs a Sort only on the
-        # score side
-        assert plan.count(f"Sort [{key}") == 1, plan
+        # r9: the iteration joins shuffled-hash on the score side (guide
+        # §3.1) — NO Sort anywhere: edges stream unsorted, the O(nodes)
+        # score side is the build side (stronger than the old SMJ shape,
+        # which needed a score-side Sort even over the sorted buckets)
+        assert "ShuffledHashJoin" in plan, plan
+        assert plan.count(f"Sort [{key}") == 0, plan
 
 
 def test_hits_on_tables_matches_flat(spark, tmp_path):

@@ -59,10 +59,12 @@ def test_bucketed_iteration_has_no_edge_side_exchange(spark, tmp_path):
     n_ex_flat = len(re.findall(r"Exchange hashpartitioning", flat))
     assert n_ex_bucketed == 2, bucketed
     assert n_ex_flat > n_ex_bucketed, (n_ex_bucketed, n_ex_flat)
-    # sortBy(src) also pre-sorts each bucket: the sort-merge join needs a
-    # Sort only on the rank side
-    assert bucketed.count("Sort [src") == 1, bucketed
-    assert flat.count("Sort [src") >= 2
+    # r9: the iteration joins shuffled-hash on the rank side (guide §3.1)
+    # — NO Sort anywhere: the edge side streams unsorted and the O(nodes)
+    # rank side is the build side (stronger than the old SMJ shape, which
+    # needed a rank-side Sort even over the sorted buckets)
+    assert "ShuffledHashJoin" in bucketed, bucketed
+    assert bucketed.count("Sort [src") == 0, bucketed
 
 
 def test_pagerank_on_table_matches_flat(spark, tmp_path):
