@@ -200,6 +200,15 @@ class FrontierEngine:
         # at most ONE in-flight pipelined verify: (round, future, persisted
         # frames kept alive until the verify job has consumed them)
         self._verify_inflight: Optional[tuple] = None
+        # r9 (r8 verdict Next #2, "hide the final round's verify tail"):
+        # at most one EARLY-submitted verify for a FUTURE round —
+        # (store, round, future). Round r, after committing the last
+        # depth's frontier, pre-submits round r+1's payload verify (the
+        # final depth does no extraction, so without this the job's
+        # largest verify ran with nothing to overlap but job-end
+        # bookkeeping). Round r+1 adopts the future at its submit point
+        # when the store/round/sub-round match exactly.
+        self._early_verify: Optional[tuple] = None
 
     # ------------------------------------------------------------ helpers
     # catalog seam (catalog/backend.py CatalogBackend): every store the
@@ -1269,7 +1278,26 @@ class FrontierEngine:
                 "corpus_bucket", F.pmod(U.page_index(F.col("url")), F.lit(C.N_BUCKETS)).cast("int")
             )
             payload_future = None
-            if self.cfg.verify_payloads and n_admitted > 0:
+            early = self._early_verify
+            if early is not None and (
+                early[0].dir != store.dir or early[1] != r
+            ):
+                # stale early verify (engine reuse / abort between rounds):
+                # drain best-effort and discard — never adopt across jobs
+                self._early_verify = None
+                try:
+                    early[2].result()
+                except Exception:  # pragma: no cover - stale drain is best-effort
+                    pass
+                early = None
+            if self.cfg.verify_payloads and n_admitted > 0 and early is not None and sub == 0 and self.cfg.politeness is None:
+                # adopt the verify pre-submitted at the END of the previous
+                # round over the identical committed row set (see the
+                # early-submit block below) — it has been running through
+                # this round's admit already
+                self._early_verify = None
+                payload_future = early[2]
+            elif self.cfg.verify_payloads and n_admitted > 0:
                 # run the payload fetch+decode CONCURRENTLY with the extraction/
                 # dedup pipeline below — they share only the cached `admitted`
                 # (Spark actions are thread-safe; two independent job DAGs).
@@ -1428,6 +1456,45 @@ class FrontierEngine:
                 # stash AFTER commit: the finalize (next round / job end) writes
                 # the stats sidecar into this round's already-committed dir
                 self._verify_inflight = (store, r, payload_future, persisted)
+            if (
+                self.cfg.pipeline_verify
+                and self.cfg.verify_payloads
+                and self.cfg.politeness is None
+                and n_new > 0
+                and not info["done"]
+                and d + 2 >= depth_limit
+                and all(e[1] == d + 1 for e in next_manifest)
+            ):
+                # EARLY-SUBMIT the NEXT (final-depth) round's verify over the
+                # rows just committed (r8 verdict Next #2): the final round
+                # does no extraction, so its verify — the job's largest —
+                # used to start only at that round's head and finalize with
+                # nothing to hide behind but the job-end seen count. With
+                # politeness off the next round admits EXACTLY this
+                # manifest (one depth, sub-round 0), so the verify input —
+                # re-read from the committed files, like the next round
+                # will — is row-identical and the stats sidecar unchanged.
+                nxt = self._read_components(
+                    [os.path.join(store.dir, e[0]) for e in next_manifest]
+                )
+                nxt_keyed = nxt.withColumn(
+                    "image_id", U.image_id_of(F.col("url"))
+                ).withColumn(
+                    "corpus_bucket",
+                    F.pmod(U.page_index(F.col("url")), F.lit(C.N_BUCKETS)).cast("int"),
+                )
+                t0e = time.monotonic()
+
+                def _early():
+                    stats = self._verify_stats(nxt_keyed)
+                    stats["verify_wall_ms"] = round((time.monotonic() - t0e) * 1000)
+                    return stats
+
+                self._early_verify = (
+                    store,
+                    r + 1,
+                    _pool_submit(self.spark, _early, group=f"verify:{store.dir}:r{r + 1}"),
+                )
             return RoundStats(
                 round=r,
                 depth=int(d),
@@ -1458,12 +1525,15 @@ class FrontierEngine:
                 f"verify:{store.dir}:r{r}",
                 f"defwrite:{store.dir}:r{r}",
                 f"verify:{store.dir}:r{r - 1}",
+                f"verify:{store.dir}:r{r + 1}",  # an early-submitted next-round verify
             ):
                 try:
                     self.spark.sparkContext.cancelJobGroup(g)
                 except Exception:  # pragma: no cover - cancellation is best-effort
                     pass
-            for fut in (payload_future, deferred_future):
+            early_fut = self._early_verify[2] if self._early_verify is not None else None
+            self._early_verify = None
+            for fut in (payload_future, deferred_future, early_fut):
                 if fut is not None:
                     try:
                         fut.result()
