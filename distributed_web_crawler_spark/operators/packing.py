@@ -114,10 +114,14 @@ def domain_mix_weights(
     counts (identical integer, so actual_share's double division is
     bit-identical). Pass `persisted` (a list) to receive the cache handle
     for cleanup after the consuming action (same contract as
-    dedup.jaccard_verified_pairs)."""
-    from .textstats import lang_guess_col
+    dedup.jaccard_verified_pairs). The guess itself uses the staged
+    projection (textstats.with_lang_guess) — split once, one filter per
+    marker set."""
+    from .textstats import with_lang_guess
 
-    lang = docs.select("doc_id", lang_guess_col(F.col("text")).alias("language")).persist()
+    lang = with_lang_guess(docs.select("doc_id", "text"), "language").select(
+        "doc_id", "language"
+    ).persist()
     if persisted is not None:
         persisted.append(lang)
     counts = lang.groupBy("language").agg(F.count("*").alias("_n"))

@@ -43,16 +43,27 @@ def token_count(docs: DataFrame) -> DataFrame:
 
 
 def quality_score(docs: DataFrame) -> DataFrame:
-    """Length / punctuation / stopword ratios → a deterministic quality gate."""
-    words = _words(F.col("text"))
-    n_tok = F.size(words)
-    n_stop = F.size(F.filter(words, lambda w: w.isin(STOPWORDS)))
-    n_punct = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[.!?,;:]"), 0))
-    return docs.select(
+    """Length / punctuation / stopword ratios → a deterministic quality gate.
+
+    r9: counts are STAGED into a projection before the ratio/gate math
+    (guide §1.2) — the one-shot expression repeated the split ~4× and the
+    stopword filter 2× per row (higher-order filters never codegen, so no
+    subexpression elimination); multi-referenced aliases block
+    CollapseProject from re-inlining. Same doubles, same gate."""
+    staged = docs.select("doc_id", "text", _words(F.col("text")).alias("_ws"))
+    base = staged.select(
         "doc_id",
-        n_tok.alias("n_tokens"),
+        F.length("text").alias("_len"),
+        F.size("_ws").alias("n_tokens"),
+        F.size(F.filter(F.col("_ws"), lambda w: w.isin(STOPWORDS))).alias("_nstop"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[.!?,;:]"), 0)).alias("_npunct"),
+    )
+    n_tok, n_stop = F.col("n_tokens"), F.col("_nstop")
+    return base.select(
+        "doc_id",
+        "n_tokens",
         F.round(n_stop / n_tok, 4).alias("stopword_ratio"),
-        F.round(n_punct / F.length("text"), 4).alias("punct_ratio"),
+        F.round(F.col("_npunct") / F.col("_len"), 4).alias("punct_ratio"),
         ((n_tok >= 20) & (n_tok <= 2000) & (n_stop / n_tok < 0.5)).alias("quality_ok"),
     )
 
@@ -78,10 +89,46 @@ def lang_guess_col(text_col):
     )
 
 
+def with_lang_guess(docs: DataFrame, out: str) -> DataFrame:
+    """`docs` plus the marker-word language guess as column `out`, STAGED:
+    the token split and each marker-set filter land in their own projection
+    columns before the CASE reads them (r9, guide §1.2). The one-shot
+    `lang_guess_col` expression repeats every `hits[lang]` subtree per CASE
+    reference (~12 higher-order filter evaluations per row — they never
+    enter whole-stage codegen, so no subexpression elimination applies);
+    multi-referenced aliases block CollapseProject from re-inlining, so
+    here the split runs once and each filter once. Same guess, same
+    tie-break order, bit-identical output."""
+    tmp = docs.withColumn("_lg_ws", _words(F.col("text")))
+
+    def _flt(markers):
+        # NB: must return a UNARY lambda — a second parameter (even a
+        # defaulted one) makes F.filter bind it to the element INDEX
+        return lambda w: w.isin(markers)
+
+    for lang, markers in LANG_MARKERS.items():
+        tmp = tmp.withColumn(
+            f"_lg_{lang}", F.size(F.filter(F.col("_lg_ws"), _flt(markers)))
+        )
+    h = {lang: F.col(f"_lg_{lang}") for lang in LANG_MARKERS}
+    guess = (
+        F.when((h["en"] > 0) & (h["en"] >= h["de"]) & (h["en"] >= h["fr"]) & (h["en"] >= h["es"]), "en")
+        .when((h["de"] > 0) & (h["de"] >= h["fr"]) & (h["de"] >= h["es"]), "de")
+        .when((h["fr"] > 0) & (h["fr"] >= h["es"]), "fr")
+        .when(h["es"] > 0, "es")
+        .otherwise("unknown")
+    )
+    return tmp.withColumn(out, guess).drop(
+        "_lg_ws", *[f"_lg_{lang}" for lang in LANG_MARKERS]
+    )
+
+
 def lang_id(docs: DataFrame) -> DataFrame:
     """Marker-word language guess — structurally the classic stopword-vote
     language-ID; marker sets are fixtures."""
-    return docs.select("doc_id", "lang", lang_guess_col(F.col("text")).alias("lang_guess"))
+    return with_lang_guess(docs.select("doc_id", "lang", "text"), "lang_guess").select(
+        "doc_id", "lang", "lang_guess"
+    )
 
 
 def fingerprint(docs: DataFrame) -> DataFrame:

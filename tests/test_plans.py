@@ -22,11 +22,14 @@ MUST_CONTAIN = {
     "session_stats": [
         "ReadSchema: struct<event_id:bigint,ts:timestamp_ntz,user_id:bigint,value:double>"
     ],
-    # anchor dim broadcasts; tokenize stays JVM-side (explode Generate);
-    # the distinct agg is partial-aggregated at every level
-    "anchor_text_index": ["BroadcastHashJoin", "Generate", "partial_collect_set"],
+    # r9 shape: the per-part token list broadcasts AFTER the aggregate;
+    # the linking-page count is a two-level distinct agg over raw fact
+    # rows — the fact side never explodes (Generate is FORBIDDEN below)
+    "anchor_text_index": ["BroadcastHashJoin", "partial_count(distinct"],
 }
 FORBIDDEN = {
+    # tokens are a pure function of the target part: no fact-side explode
+    "anchor_text_index": ["Generate", "CartesianProduct"],
     "minhash_signature": ["CartesianProduct"],
     # gram pairs come from the hashed anchor equi-join, never all-pairs
     "substring_dedup": ["CartesianProduct", "BroadcastNestedLoopJoin"],
