@@ -43,9 +43,14 @@ def connected_components(
     never runs CC inside its threaded rounds, and results are unaffected
     either way (partitioning never changes CC output)."""
     spark = edges.sparkSession
-    fwd = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    # r9: persist the FORWARD edges before symmetrizing — the union's two
+    # branches are planned independently, so an expensive `edges` input
+    # (e.g. the whole LSH+verify pipeline in neardup_clusters) used to be
+    # computed once per direction; now the reverse branch reads the cache
+    fwd = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).persist()
     sym = fwd.unionByName(fwd.select(F.col("v").alias("u"), F.col("u").alias("v"))).persist()
     n_edges = sym.count()  # materializes the cache — paid anyway at round 1
+    fwd.unpersist()  # sym is materialized; the per-direction cache is done
     want = max(1, min(
         2 * spark.sparkContext.defaultParallelism,
         -(-n_edges // EDGES_PER_PARTITION),
@@ -115,9 +120,11 @@ def neardup_clusters(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     their own singleton cluster; the cluster keeper is min(doc_id) in the
     component. Output: (doc_id, cluster_id)."""
     comp = connected_components(pairs)
+    # comp is bounded by the paired-doc count (≪ corpus): broadcast it so
+    # the corpus side never shuffles for the final label attach
     return (
         docs.select("doc_id")
-        .join(comp.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .join(F.broadcast(comp.withColumnRenamed("node", "doc_id")), "doc_id", "left")
         .select(
             "doc_id", F.coalesce(F.col("component"), F.col("doc_id")).alias("cluster_id")
         )

@@ -191,7 +191,10 @@ def minhash_lsh_pairs(
     if persisted is not None:
         persisted.append(bkeys)
     a = bkeys.alias("a")
-    b_ = bkeys.alias("b")
+    # shuffled-hash on one side of the self-join (guide §3.1): sort-merge
+    # sorted BOTH O(docs·bands) sides; the SHJ build side is bounded per
+    # partition by the same banding that bounds the candidate volume
+    b_ = bkeys.alias("b").hint("shuffle_hash")
     return (
         a.join(b_, ["band", "k1", "k2"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))

@@ -76,9 +76,11 @@ AUDITS = {
     # shuffle (WindowGroupLimit), tokens stay JVM-side (explode Generate
     # feeding a partial agg), and the 1-row N aggregate broadcasts
     "tfidf_top_terms": ["WindowGroupLimit", "Generate", "HashAggregate"],
-    # anchor-text index: dim broadcasts, tokenize is an explode Generate
-    # (JVM-side), the distinct agg partial-aggregates at every level
-    "anchor_text_index": ["BroadcastHashJoin", "Generate", "partial_collect_set"],
+    # anchor-text index (r9 shape): the per-part token list broadcasts
+    # AFTER the aggregate; the linking-page count is a two-level distinct
+    # agg over raw (int, int) fact rows — the fact side never explodes
+    # (Generate is FORBIDDEN below)
+    "anchor_text_index": ["BroadcastHashJoin", "partial_count(distinct"],
     # hits: the returned frame must be CHECKPOINTED state (same
     # IterationState discipline as pagerank)
     "hits": ["Scan ExistingRDD"],
@@ -111,6 +113,8 @@ FORBIDDEN = {
     # a cartesian/nested-loop product in the pair generators is the
     # all-pairs regression the banded designs exist to prevent
     "image_neardup": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    # tokens are a pure function of the target part — no fact-side explode
+    "anchor_text_index": ["Generate", "CartesianProduct"],
     "minhash_signature": ["CartesianProduct"],
     "pagerank": ["CartesianProduct", "BroadcastNestedLoopJoin"],
     "pagerank_bucketed": ["CartesianProduct", "BroadcastNestedLoopJoin"],
@@ -331,14 +335,17 @@ def audit_pagerank_bucketed(spark, sections, failures):
     n_ex = len(re.findall(r"Exchange hashpartitioning", raw))
     if n_ex != 2:
         missing.append(f"expected exactly 2 exchanges (rank side + dst agg), saw {n_ex}")
-    if raw.count("Sort [src") != 1:
-        missing.append("edge-side Sort not eliminated by sorted bucketed scan")
+    if "ShuffledHashJoin" not in raw:
+        missing.append("iteration join is not shuffled-hash (r9: SHJ on the rank side)")
+    if raw.count("Sort [src") != 0:
+        missing.append("r9 shape has NO sorts: SHJ builds on the rank side, edges stream")
     if missing:
         failures.append(("pagerank_bucketed_iteration", missing))
     sections.append(
         f"## pagerank_bucketed_iteration — {'OK' if not missing else 'MISSING ' + str(missing)}\n\n"
-        "Per-iteration contribs join over the src-bucketed+sorted contribution-edge\n"
-        "table: no edge-side Exchange or Sort; only the rank side moves.\n\n"
+        "Per-iteration contribs join over the src-bucketed contribution-edge\n"
+        "table: no edge-side Exchange, shuffled-hash build on the rank side\n"
+        "(no Sort anywhere); only the rank side moves.\n\n"
         f"```\n{plan.strip()}\n```\n"
     )
 
