@@ -384,6 +384,8 @@ def embedding_dedup_pairs(
 
         out = []
         for i, j in zip(iu[sel], ju[sel]):
+            if ids[i] == ids[j]:
+                continue  # old plan's strict a_id < b_id: no self-pairs
             a, b = E[i], E[j]
             # exact left-fold arithmetic of the old JVM expression:
             # dot(a,b) / (sqrt(dot(a,a)) * sqrt(dot(b,b))), all IEEE double
