@@ -36,7 +36,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from .bfs import IterationState, fan_out_edges
+from .bfs import IterationState
 
 
 def pagerank(
@@ -49,23 +49,24 @@ def pagerank(
     contribute multiplicity, matching the SQL oracle). Returns
     (url string, rank double) for every node, rank UNROUNDED — callers
     compare/rank on a rounded projection."""
-    edges = fan_out_edges(edges).persist()
+    # r9 (guide §1.2 "fewer passes"): contribution edges are built FIRST —
+    # one src exchange with the degree folded in as a window count (see
+    # contrib_edges_of) — and the node set derives from the cached contrib
+    # frame, so the old three full passes (edges cache materialization,
+    # deg-join contrib build, node distinct over the edges cache) collapse
+    # to one contrib pass + one cache-read distinct. Same rows, same w.
+    contrib_edges = contrib_edges_of(edges).persist()
     nodes = (
-        edges.select(F.col("src").alias("url"))
-        .unionByName(edges.select(F.col("dst").alias("url")))
+        contrib_edges.select(F.col("src").alias("url"))
+        .unionByName(contrib_edges.select(F.col("dst").alias("url")))
         .distinct()
         .persist()
     )
     n = nodes.count()  # materializes both persisted frames
     if n == 0:
-        edges.unpersist()
         nodes.unpersist()
+        contrib_edges.unpersist()
         return edges.sparkSession.createDataFrame([], "url string, rank double")
-    # contribution edges with the degree folded in: built once, reused by
-    # every iteration (write_edges_bucketed is the at-scale layout)
-    contrib_edges = contrib_edges_of(edges).persist()
-    contrib_edges.count()
-    edges.unpersist()
 
     out = _power_iterate(nodes, contrib_edges, n, n_iters, damping, checkpoint_every)
     nodes.unpersist()
@@ -117,12 +118,19 @@ def _power_iterate(nodes, contrib_edges, n, n_iters, damping, checkpoint_every):
 
 def contrib_edges_of(edges: DataFrame) -> DataFrame:
     """(src, dst, w=1/outdeg(src)) — the projection every iteration joins.
-    Built once per graph; at scale this is what gets written bucketed."""
-    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
-    # shuffled-hash: build on the O(nodes) degree side, stream the edges
-    # unsorted (the default SMJ would sort the full edge set — guide §3.1)
-    return edges.join(deg.hint("shuffle_hash"), "src").select(
-        "src", "dst", (F.lit(1.0) / F.col("outdeg")).alias("w")
+    Built once per graph; at scale this is what gets written bucketed.
+
+    r9 (guide §2.4 "share one exchange"): the degree folds in as a window
+    count over ONE src exchange — the former groupBy+join shape moved the
+    edge set through an exchange AND a join against the degree aggregate
+    (two passes); the window needs the same src clustering the downstream
+    bucketed layout wants anyway, and 1.0/count(*) is the identical
+    double for any evaluation order (integer count)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("src")
+    return edges.select(
+        "src", "dst", (F.lit(1.0) / F.count("*").over(w)).alias("w")
     )
 
 
