@@ -171,7 +171,9 @@ def changes_pdf(
         prev = cur
     cols = ["_version", "_op"] + [c for c in (prev.columns if prev is not None else [])]
     if not chunks:
-        return pd.DataFrame(columns=cols if prev is not None else ["_version", "_op"])
+        # old-shape parity: an empty changeset is always the bare
+        # (_version, _op) frame, data columns or not
+        return pd.DataFrame(columns=["_version", "_op"])
     return pd.concat(chunks, ignore_index=True)[cols]
 
 

@@ -48,6 +48,10 @@ def connected_components(
     # (e.g. the whole LSH+verify pipeline in neardup_clusters) used to be
     # computed once per direction; now the reverse branch reads the cache
     fwd = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).persist()
+    fwd.count()  # MATERIALIZE before the union reads it twice: the union's
+    # forward- and reverse-branch tasks run concurrently in one stage, and a
+    # reverse task starting before its forward twin has cached the partition
+    # would recompute the upstream anyway — the count pins the single run
     sym = fwd.unionByName(fwd.select(F.col("v").alias("u"), F.col("u").alias("v"))).persist()
     n_edges = sym.count()  # materializes the cache — paid anyway at round 1
     fwd.unpersist()  # sym is materialized; the per-direction cache is done

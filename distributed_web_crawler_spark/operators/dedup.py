@@ -156,31 +156,39 @@ def minhash_lsh_pairs(
     union of selects would re-run the signature aggregate once per band).
 
     r9 (guide §2.3 "narrower types"): the band key used to be the ~40-byte
-    '_'-joined string of the band's hash values; each pair of hashes now
-    packs LOSSLESSLY into one long (h_lo·2³⁰ + h_hi, both < 2³⁰), so the
-    self-join key is (band int, k1 long, k2 long) — identical candidate
-    set (the packing is injective), far fewer exchange bytes and integer
-    instead of string hash/compare in the join."""
+    '_'-joined string of the band's hash values; consecutive hash pairs now
+    pack LOSSLESSLY into longs (h_lo·2³⁰ + h_hi, both < 2³⁰; an odd
+    trailing hash rides alone), so the self-join key is
+    (band int, ⌈r/2⌉ longs) — identical candidate set (the packing is
+    injective), far fewer exchange bytes and integer instead of string
+    hash/compare in the join."""
     sig = minhash_signatures(docs, k, sh=sh, shh=shh)
     n_bands = k // rows_per_band
-    assert rows_per_band % 2 == 0, "packed band keys assume an even band width"
+    # generic lossless packing: consecutive hash PAIRS fold into one long
+    # (h_lo·2³⁰ + h_hi, both < 2³⁰ < P); an odd trailing hash rides alone.
+    # ceil(r/2) key columns — injective for ANY rows_per_band, so the
+    # candidate set is exactly the old string-key join's.
+    n_keys = (rows_per_band + 1) // 2
 
-    def _pack(i, j):
-        return (F.col(f"h{i}") * F.lit(1 << 30) + F.col(f"h{j}")).cast("long")
+    def _pack(b, j):
+        i = b * rows_per_band + 2 * j
+        if 2 * j + 1 < rows_per_band:
+            return (F.col(f"h{i}") * F.lit(1 << 30) + F.col(f"h{i + 1}")).cast("long")
+        return F.col(f"h{i}").cast("long")
 
+    key_names = [f"k{j}" for j in range(n_keys)]
     band_arr = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                _pack(b * rows_per_band, b * rows_per_band + 1).alias("k1"),
-                _pack(b * rows_per_band + 2, b * rows_per_band + 3).alias("k2"),
+                *[_pack(b, j).alias(key_names[j]) for j in range(n_keys)],
             )
             for b in range(n_bands)
         ]
     )
     bkeys = sig.select("doc_id", F.explode(band_arr).alias("bk")).select(
         "doc_id", F.col("bk.band").alias("band"),
-        F.col("bk.k1").alias("k1"), F.col("bk.k2").alias("k2"),
+        *[F.col(f"bk.{kn}").alias(kn) for kn in key_names],
     )
     # r9: persist the band keys before the self-join — Catalyst plans an
     # aliased subtree TWICE, so without the cache the whole signature
@@ -196,7 +204,7 @@ def minhash_lsh_pairs(
     # partition by the same banding that bounds the candidate volume
     b_ = bkeys.alias("b").hint("shuffle_hash")
     return (
-        a.join(b_, ["band", "k1", "k2"])
+        a.join(b_, ["band", *key_names])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
         .dropDuplicates(["a_id", "b_id"])

@@ -256,6 +256,21 @@ def ann_topk_partitioned(
     return cosine_topk(survivors, query_vec, k)
 
 
+def _band_key_matrix(E, dim: int, n_bands: int, band_planes: int):
+    """(n, n_bands) int64 band keys for an (n, dim) float64 matrix — THE
+    one definition of the banded sign-LSH key arithmetic (6-dp half-away
+    rounding before the sign, bit-weight packing per band), shared by
+    band_keys and embedding_dedup_pairs so the two can never drift from
+    each other or from the oracle's inlined hyperplane literals."""
+    import numpy as np
+
+    n_planes = n_bands * band_planes
+    pm = np.array([hyperplane(dim, p) for p in range(n_planes)]).T  # (dim, P)
+    weights = 1 << np.arange(band_planes, dtype=np.int64)
+    bits = (_round6_half_away(E @ pm) > 0).astype(np.int64)  # (n, P)
+    return bits.reshape(len(E), n_bands, band_planes) @ weights  # (n, B)
+
+
 def band_keys(embeddings: DataFrame, dim: int, n_bands: int, band_planes: int) -> DataFrame:
     """(vec_id, band, key) rows — key = sign bits of the band's hyperplane
     dots, rounded to 6 dp before the sign so every engine (whatever its
@@ -264,20 +279,16 @@ def band_keys(embeddings: DataFrame, dim: int, n_bands: int, band_planes: int) -
     expression-tree version (24 zip_with/aggregate dots over inlined
     64-double literals) cost seconds of Catalyst codegen per plan — more
     than the actual data work at any scale, and pure overhead at this one."""
-    n_planes = n_bands * band_planes
 
     def bk(batches):
         import numpy as np
         import pandas as pd
 
-        pm = np.array([hyperplane(dim, p) for p in range(n_planes)]).T  # (dim, P)
-        weights = 1 << np.arange(band_planes, dtype=np.int64)
         for pdf in batches:
             if not len(pdf):
                 continue
             E = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
-            bits = (_round6_half_away(E @ pm) > 0).astype(np.int64)  # (n, P)
-            keys = bits.reshape(len(E), n_bands, band_planes) @ weights  # (n, B)
+            keys = _band_key_matrix(E, dim, n_bands, band_planes)
             yield pd.DataFrame(
                 {
                     "vec_id": np.repeat(pdf["vec_id"].to_numpy(), n_bands),
@@ -331,20 +342,16 @@ def embedding_dedup_pairs(
     within-cell verification), never a shuffle."""
     import numpy as np
 
-    n_planes = n_bands * band_planes
     margin = float(threshold) - 0.006
 
     def bk_with_vec(batches):
         import pandas as pd
 
-        pm = np.array([hyperplane(dim, p) for p in range(n_planes)]).T  # (dim, P)
-        weights = 1 << np.arange(band_planes, dtype=np.int64)
         for pdf in batches:
             if not len(pdf):
                 continue
             E = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
-            bits = (_round6_half_away(E @ pm) > 0).astype(np.int64)  # (n, P)
-            keys = bits.reshape(len(E), n_bands, band_planes) @ weights  # (n, B)
+            keys = _band_key_matrix(E, dim, n_bands, band_planes)
             rows = E.tolist()
             yield pd.DataFrame(
                 {
@@ -377,20 +384,35 @@ def embedding_dedup_pairs(
         ids = pdf["vec_id"].to_numpy()[order]
         E = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])[order]
         nrm = np.sqrt((E * E).sum(axis=1))
-        C = (E @ E.T) / np.outer(nrm, nrm)
-        iu, ju = np.triu_indices(len(ids), 1)
-        sel = C[iu, ju] >= margin
         import math
 
         out = []
-        for i, j in zip(iu[sel], ju[sel]):
-            if ids[i] == ids[j]:
-                continue  # old plan's strict a_id < b_id: no self-pairs
-            a, b = E[i], E[j]
-            # exact left-fold arithmetic of the old JVM expression:
-            # dot(a,b) / (sqrt(dot(a,a)) * sqrt(dot(b,b))), all IEEE double
-            cos = _seq_dot(a, b) / (math.sqrt(_seq_dot(a, a)) * math.sqrt(_seq_dot(b, b)))
-            out.append((int(ids[i]), int(ids[j]), cos))
+        m = len(ids)
+        # BLOCKED gram scoring: a degenerate mega-bucket (e.g. tens of
+        # thousands of exact duplicates landing in one (band, key) every
+        # band — precisely what a dedup corpus contains) must not allocate
+        # an m×m gram matrix in one Python worker; row blocks bound the
+        # transient to O(block·m) while the compute stays one BLAS matmul
+        # per block. 2048·m doubles ≈ 16 KB per bucket row — modest even
+        # at m ~ 10⁶, where m² would be terabytes.
+        block = 2048
+        col = np.arange(m)
+        for s in range(0, m - 1, block):
+            e = min(s + block, m)
+            Cb = (E[s:e] @ E.T) / np.outer(nrm[s:e], nrm)  # (e-s, m)
+            hit_r, hit_c = np.nonzero(
+                (Cb >= margin) & (col[None, :] > np.arange(s, e)[:, None])
+            )
+            for i, j in zip(hit_r + s, hit_c):
+                if ids[i] == ids[j]:
+                    continue  # old plan's strict a_id < b_id: no self-pairs
+                a, b = E[i], E[j]
+                # exact left-fold arithmetic of the old JVM expression:
+                # dot(a,b) / (sqrt(dot(a,a)) * sqrt(dot(b,b))), IEEE double
+                cos = _seq_dot(a, b) / (
+                    math.sqrt(_seq_dot(a, a)) * math.sqrt(_seq_dot(b, b))
+                )
+                out.append((int(ids[i]), int(ids[j]), cos))
         return pd.DataFrame(out, columns=cols) if out else empty
 
     pairs = bke.groupBy("band", "key").applyInPandas(

@@ -1161,6 +1161,12 @@ class FrontierEngine:
         while not info.get("done"):
             if max_rounds is not None and rounds_done >= max_rounds:
                 self._finalize_verify(store)  # drain the pipelined verify
+                # a pre-submitted NEXT-round verify (if any) is deliberately
+                # left in flight: a resume on this engine adopts it (same
+                # store, same round number); an engine reused for another
+                # job cancels+drains it at that job's submit point. It reads
+                # only committed files and persists nothing, so an owner
+                # that never resumes leaks no cached frames.
                 return {"job_id": job_id, "done": False, "last_round": last}
             r = last + 1
             t0 = time.monotonic()
@@ -1283,8 +1289,16 @@ class FrontierEngine:
                 early[0].dir != store.dir or early[1] != r
             ):
                 # stale early verify (engine reuse / abort between rounds):
-                # drain best-effort and discard — never adopt across jobs
+                # CANCEL its Spark jobs first — this round must not block
+                # synchronously behind a full verify of another job — then
+                # drain best-effort and discard; never adopt across jobs
                 self._early_verify = None
+                try:
+                    self.spark.sparkContext.cancelJobGroup(
+                        f"verify:{early[0].dir}:r{early[1]}"
+                    )
+                except Exception:  # pragma: no cover - cancellation is best-effort
+                    pass
                 try:
                     early[2].result()
                 except Exception:  # pragma: no cover - stale drain is best-effort
