@@ -177,10 +177,12 @@ def contamination_report(
         .groupBy("doc_id")
         .agg(F.count_distinct("g").alias("n_hits"))
     )
+    # hits is bounded by the CONTAMINATED doc count (≪ corpus): broadcast
+    # it so the corpus side never shuffles for the final label attach
     return (
         docs.filter(~is_eval)
         .select("doc_id")
-        .join(hits, "doc_id", "left")
+        .join(F.broadcast(hits), "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
