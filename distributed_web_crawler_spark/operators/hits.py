@@ -175,28 +175,24 @@ def _iterate(
             # Interim inflows are consumed exactly once — no persist.
             inflow = inflow.persist()
         outflow = st.step(iteration_outflow(edges_for_outflow, inflow), it)
-    proj = (
+    # r9: the normalization maxes come from the CACHED support-set frames —
+    # a node absent from outflow/inflow scores exactly 0 and hub/auth are
+    # nonnegative (sums of counts), so max over the support set IS the max
+    # over all nodes; the old path materialized (persist) and re-scanned an
+    # extra O(nodes) projection just to take the same two maxes. Two tiny
+    # cache-read aggregates instead; the final projection then flows
+    # straight into finish()'s one checkpoint pass. Values are division by
+    # the identical doubles — bit-identical output.
+    hmax = outflow.agg(F.max("hub")).collect()[0][0]
+    amax = inflow.agg(F.max("auth")).collect()[0][0]
+    out = st.finish(
         nodes.join(outflow.withColumnRenamed("src", "url").hint("shuffle_hash"), "url", "left")
         .join(inflow.withColumnRenamed("dst", "url").hint("shuffle_hash"), "url", "left")
         .select(
             "url",
-            F.coalesce(F.col("hub"), F.lit(0.0)).alias("hub"),
-            F.coalesce(F.col("auth"), F.lit(0.0)).alias("auth"),
-        )
-        .persist()
-    )
-    # one-row aggregate over the cached O(nodes) projection — control-plane
-    # sized, same pattern as pagerank's nodes.count(); normalizing BEFORE
-    # finish() keeps the returned frame a raw checkpointed LogicalRDD, so
-    # bfs.release_checkpoint can free it exactly like a pagerank result
-    hmax, amax = proj.agg(F.max("hub"), F.max("auth")).collect()[0]
-    out = st.finish(
-        proj.select(
-            "url",
-            (F.col("hub") / F.lit(float(hmax) if hmax else 1.0)).alias("hub"),
-            (F.col("auth") / F.lit(float(amax) if amax else 1.0)).alias("auth"),
+            (F.coalesce(F.col("hub"), F.lit(0.0)) / F.lit(float(hmax) if hmax else 1.0)).alias("hub"),
+            (F.coalesce(F.col("auth"), F.lit(0.0)) / F.lit(float(amax) if amax else 1.0)).alias("auth"),
         )
     )  # finish() is eager — safe to release inputs below
-    proj.unpersist()
     inflow.unpersist()
     return out
