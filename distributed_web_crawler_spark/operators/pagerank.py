@@ -26,10 +26,13 @@ Sort (machine-asserted in tests/test_pagerank_bucketed.py and
 scripts/explain_audit.py, the same treatment ann_topk_partitioned got
 for its partition-pruning claim). The out-degree table rides inside
 the same persisted edge projection (degree join, broadcastable when the
-host graph is small). Iteration state is one (node, rank) frame,
-persisted per step and released when superseded — lineage is truncated
-with the same tracked localCheckpoint used by operators/bfs.py, so deep
-iteration counts neither grow plans nor pin O(iters) caches.
+host graph is small). Iteration state is one (dst, inflow)
+SUPPORT-SET frame (r9b: rank = base + d·inflow is a pure per-row
+function of it, so no full (node, rank) frame is ever assembled inside
+the loop — nodes join once, in the final projection), persisted per
+step and released when superseded — lineage is truncated with the same
+tracked localCheckpoint used by operators/bfs.py, so deep iteration
+counts neither grow plans nor pin O(iters) caches.
 """
 
 from __future__ import annotations
@@ -74,46 +77,77 @@ def pagerank(
     return out
 
 
-def iteration_contribs(contrib_edges: DataFrame, ranks: DataFrame) -> DataFrame:
-    """ONE power-iteration inflow: contribution edges ⋈ ranks (by src),
-    aggregated by dst. Split out so plan audits can assert the join shape
-    against a bucketed edge layout without running a full pagerank.
+def iteration_contribs(
+    contrib_edges: DataFrame, inflow: DataFrame, base: float, damping: float
+) -> DataFrame:
+    """ONE power-iteration inflow from the PREVIOUS step's inflow
+    support set: contribution edges ⟕ inflow (by src), aggregated by dst.
+    Split out so plan audits can assert the join shape against a bucketed
+    edge layout without running a full pagerank.
 
-    r9 (guide §3.1 "pick the strategy deliberately"): the rank side is
+    r9 (guide §3.1 "pick the strategy deliberately"): the inflow side is
     hinted SHUFFLE_HASH — the planner's default sort-merge join re-SORTS
     the O(edges) side every iteration (the bucketed layout only removes
     its Exchange, not the sort, since bucketedTableScan.outputOrdering is
-    off), while a shuffled-hash join builds on the O(nodes) rank side
-    (bounded per partition) and streams edges with no sort at all."""
+    off), while a shuffled-hash join builds on the O(nodes) inflow side
+    (bounded per partition) and streams edges with no sort at all.
+
+    r9b (guide §2.1 "remove shuffles outright"): the iteration carries
+    only the inflow SUPPORT SET (dst, inflow) — never a full (node, rank)
+    frame. rank_t(u) = base + damping·inflow_t(u) is a pure per-row
+    function of the inflow (inflow absent ⇔ no in-edges ⇔ exactly 0), so
+    it is computed INLINE on the join output with the identical double
+    expression the former rank-assembly join used (base + d·coalesce(x,0),
+    then ·w) — same terms, bit-for-bit, in whatever per-dst order the
+    shuffle delivers (the same accepted association class as before; the
+    oracle rounds at 6 dp over ~1e-15 relative noise). The former
+    per-iteration `nodes ⟕ contribs` shuffled-hash join — one O(nodes)
+    join + two exchanges + a persisted O(nodes) generation PER STEP — is
+    gone; nodes enter once, in the final projection (the same support-set
+    discipline hits() has used since r8)."""
+    rank = F.lit(base) + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0))
     return (
         contrib_edges.join(
-            ranks.withColumnRenamed("url", "src").hint("shuffle_hash"), "src"
+            inflow.withColumnRenamed("dst", "src").hint("shuffle_hash"), "src", "left"
         )
         .groupBy("dst")
-        .agg(F.sum(F.col("rank") * F.col("w")).alias("inflow"))
+        .agg(F.sum(rank * F.col("w")).alias("inflow"))
     )
 
 
 def _power_iterate(nodes, contrib_edges, n, n_iters, damping, checkpoint_every):
+    if n_iters < 1:
+        # inflow would stay None and crash the final projection with a
+        # bare AttributeError; fail with the actual contract (same guard
+        # hits._iterate carries)
+        raise ValueError(f"pagerank requires n_iters >= 1, got {n_iters}")
     base = (1.0 - damping) / n
     st = IterationState(checkpoint_every)
-    ranks = st.step(nodes.select("url", F.lit(1.0 / n).alias("rank")), 1)
+    inflow = None
     for it in range(1, n_iters + 1):
-        contribs = iteration_contribs(contrib_edges, ranks)
-        ranks = st.step(
-            nodes.join(
-                contribs.withColumnRenamed("dst", "url").hint("shuffle_hash"),
-                "url",
-                "left",
-            ).select(
-                "url",
-                (F.lit(base) + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0))).alias(
-                    "rank"
-                ),
+        if it == 1:
+            # rank_0 ≡ 1/n: the first inflow needs no join at all — it is
+            # a plain aggregate over the cached contribution edges, with
+            # the same per-edge term (1/n)·w the former rank_0-join summed
+            inflow = contrib_edges.groupBy("dst").agg(
+                F.sum(F.lit(1.0 / n) * F.col("w")).alias("inflow")
+            )
+        else:
+            inflow = iteration_contribs(contrib_edges, inflow, base, damping)
+        inflow = st.step(inflow, it)
+    # final projection: the ONE place the full node set is needed —
+    # rank = base + d·coalesce(inflow, 0), identical to the expression the
+    # per-step rank assembly used to evaluate
+    return st.finish(
+        nodes.join(
+            inflow.withColumnRenamed("dst", "url").hint("shuffle_hash"), "url", "left"
+        ).select(
+            "url",
+            (F.lit(base) + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0))).alias(
+                "rank"
             ),
-            it,
         )
-    return st.finish(ranks)
+    )
 
 
 def contrib_edges_of(edges: DataFrame) -> DataFrame:

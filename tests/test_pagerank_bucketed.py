@@ -31,8 +31,10 @@ def _plan(df) -> str:
 def test_bucketed_iteration_has_no_edge_side_exchange(spark, tmp_path):
     edges = _edges(spark)
     write_edges_bucketed(edges, "pr_edges_plan", n_buckets=N_BUCKETS, path=str(tmp_path / "t"))
-    ranks = spark.createDataFrame(
-        [(f"n{i}", 1.0 / 40) for i in range(40)], "url string, rank double"
+    # r9b: the iteration consumes the previous step's inflow SUPPORT SET
+    # (dst, inflow), not a full rank frame — rank is computed inline
+    inflow = spark.createDataFrame(
+        [(f"n{i}", 1.0 / 40) for i in range(40)], "dst string, inflow double"
     )
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     old_ord = spark.conf.get("spark.sql.legacy.bucketedTableScan.outputOrdering", "false")
@@ -43,8 +45,8 @@ def test_bucketed_iteration_has_no_edge_side_exchange(spark, tmp_path):
         # sortBy metadata (off by default since 3.0 — costs a listing)
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
-        bucketed = _plan(iteration_contribs(spark.table("pr_edges_plan"), ranks))
-        flat = _plan(iteration_contribs(contrib_edges_of(edges), ranks))
+        bucketed = _plan(iteration_contribs(spark.table("pr_edges_plan"), inflow, 0.00375, 0.85))
+        flat = _plan(iteration_contribs(contrib_edges_of(edges), inflow, 0.00375, 0.85))
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", old_ord)
@@ -52,17 +54,17 @@ def test_bucketed_iteration_has_no_edge_side_exchange(spark, tmp_path):
 
     # the scan itself advertises the bucketing
     assert "Bucketed: true" in bucketed
-    # EXACTLY two exchanges remain: the rank side into the join, and the
+    # EXACTLY two exchanges remain: the inflow side into the join, and the
     # dst aggregate — the edge side never moves. The flat layout also pays
     # the edge-side exchange (plus the out-degree aggregate it rebuilds).
     n_ex_bucketed = len(re.findall(r"Exchange hashpartitioning", bucketed))
     n_ex_flat = len(re.findall(r"Exchange hashpartitioning", flat))
     assert n_ex_bucketed == 2, bucketed
     assert n_ex_flat > n_ex_bucketed, (n_ex_bucketed, n_ex_flat)
-    # r9: the iteration joins shuffled-hash on the rank side (guide §3.1)
+    # r9: the iteration joins shuffled-hash on the inflow side (guide §3.1)
     # — NO Sort anywhere: the edge side streams unsorted and the O(nodes)
-    # rank side is the build side (stronger than the old SMJ shape, which
-    # needed a rank-side Sort even over the sorted buckets)
+    # inflow side is the build side (stronger than the old SMJ shape, which
+    # needed a score-side Sort even over the sorted buckets)
     assert "ShuffledHashJoin" in bucketed, bucketed
     assert bucketed.count("Sort [src") == 0, bucketed
 
