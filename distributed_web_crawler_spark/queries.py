@@ -283,13 +283,19 @@ def q_depth_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     # §2.3 narrower types): the two-level collect_set aggregation then
     # buffers/merges/exchanges 8-byte longs instead of boxed strings;
     # sorting the string-transformed array afterwards is byte-identical
-    # to collecting strings (same lexicographic order, same join)
+    # to collecting strings (same lexicographic order, same join).
+    # r9b (guide §2.2 partial aggregation): n_users derives from the SAME
+    # distinct set as size(collect_set) — the former separate
+    # countDistinct forced an Expand that pushed every event row through
+    # the aggregate twice (one projection per distinct group); one
+    # aggregate now computes both columns from one pass. size() is the
+    # exact distinct count (collect_set IS the distinct set), cast to
+    # long to keep the oracle's count(distinct) BIGINT dtype.
+    uset = F.collect_set("user_id")
     return ev.groupBy("event_type").agg(
-        F.countDistinct("user_id").alias("n_users"),
+        F.size(uset).cast("long").alias("n_users"),
         F.array_join(
-            F.sort_array(
-                F.transform(F.collect_set("user_id"), lambda x: x.cast("string"))
-            ),
+            F.sort_array(F.transform(uset, lambda x: x.cast("string"))),
             ",",
         ).alias("users_csv"),
     )
