@@ -57,3 +57,28 @@ def test_empty_edges(spark):
     out = pagerank(spark.createDataFrame([], "src string, dst string"), n_iters=3)
     assert out.collect() == []
     assert out.columns == ["url", "rank"]
+
+
+def test_iteration_contribs_scores_absent_sources_at_base(spark):
+    """r9b support-set iteration: a src missing from the inflow frame has
+    no in-edges, so its rank is exactly base — the left join + inline
+    rank expression must reproduce what the old full-rank-frame assembly
+    computed for it."""
+    import pytest
+
+    from distributed_web_crawler_spark.operators.pagerank import (
+        contrib_edges_of,
+        iteration_contribs,
+        pagerank,
+    )
+
+    edges = spark.createDataFrame([("a", "b"), ("c", "b")], ["src", "dst"])
+    ce = contrib_edges_of(edges)
+    inflow = spark.createDataFrame([("a", 0.2)], "dst string, inflow double")  # c absent
+    out = {r["dst"]: r["inflow"] for r in iteration_contribs(ce, inflow, 0.05, 0.85).collect()}
+    # rank(a) = 0.05 + 0.85*0.2 = 0.22, rank(c) = base = 0.05; both w=1
+    assert abs(out["b"] - (0.22 + 0.05)) < 1e-15
+    assert set(out) == {"b"}
+
+    with pytest.raises(ValueError, match="n_iters"):
+        pagerank(edges, n_iters=0)

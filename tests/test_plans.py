@@ -27,6 +27,11 @@ MUST_CONTAIN = {
     # rows — the fact side never explodes (Generate is FORBIDDEN below)
     "anchor_text_index": ["BroadcastHashJoin", "partial_count(distinct"],
 }
+# r9b: n_users folds into size(collect_set) — ONE aggregate pair over ONE
+# exchange; a reintroduced countDistinct would bring back the 4-aggregate
+# / 2-exchange distinct chain
+DEPTH_COLLECT_MAX_EXCHANGES = 1
+
 FORBIDDEN = {
     # tokens are a pure function of the target part: no fact-side explode
     "anchor_text_index": ["Generate", "CartesianProduct"],
@@ -54,6 +59,15 @@ def test_headline_plan_properties(spark):
             assert frag in plan, (name, frag, plan)
         for frag in FORBIDDEN.get(name, []):
             assert frag not in plan, (name, frag)
+
+
+def test_depth_collect_single_aggregate_pass(spark):
+    # r9b: both output columns derive from the one collect_set aggregate.
+    # "Exchange (" counts tree nodes once (the details section renders
+    # them as "(n) Exchange", which this fragment does not match)
+    plan = _plan(Q.bench_queries()["depth_collect"](spark, SF_DIR))
+    assert plan.count("Exchange (") <= DEPTH_COLLECT_MAX_EXCHANGES, plan
+    assert "(distinct" not in plan, plan
 
 
 def test_session_stats_single_exchange(spark):
