@@ -42,17 +42,24 @@ def token_count(docs: DataFrame) -> DataFrame:
     )
 
 
-def quality_score(docs: DataFrame) -> DataFrame:
-    """Length / punctuation / stopword ratios → a deterministic quality gate.
+def with_quality_cols(docs: DataFrame) -> DataFrame:
+    """`docs` plus the quality columns (n_tokens, stopword_ratio,
+    punct_ratio, quality_ok) — a NARROW per-row projection carrying the
+    input columns through, so callers that need quality-gated doc
+    columns never join back by doc_id (r9b, guide §1.2 fewer passes:
+    q_clean_corpus_stats dropped a docs⋈quality self-join on this).
+    quality_score() below is exactly this minus the carried doc columns
+    — one definition of the gate, zero drift.
 
     r9: counts are STAGED into a projection before the ratio/gate math
     (guide §1.2) — the one-shot expression repeated the split ~4× and the
     stopword filter 2× per row (higher-order filters never codegen, so no
     subexpression elimination); multi-referenced aliases block
     CollapseProject from re-inlining. Same doubles, same gate."""
-    staged = docs.select("doc_id", "text", _words(F.col("text")).alias("_ws"))
+    carried = list(docs.columns)
+    staged = docs.withColumn("_ws", _words(F.col("text")))
     base = staged.select(
-        "doc_id",
+        *carried,
         F.length("text").alias("_len"),
         F.size("_ws").alias("n_tokens"),
         F.size(F.filter(F.col("_ws"), lambda w: w.isin(STOPWORDS))).alias("_nstop"),
@@ -60,11 +67,19 @@ def quality_score(docs: DataFrame) -> DataFrame:
     )
     n_tok, n_stop = F.col("n_tokens"), F.col("_nstop")
     return base.select(
-        "doc_id",
+        *carried,
         "n_tokens",
         F.round(n_stop / n_tok, 4).alias("stopword_ratio"),
         F.round(F.col("_npunct") / F.col("_len"), 4).alias("punct_ratio"),
         ((n_tok >= 20) & (n_tok <= 2000) & (n_stop / n_tok < 0.5)).alias("quality_ok"),
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Length / punctuation / stopword ratios → a deterministic quality
+    gate (see with_quality_cols — this is its doc_id-keyed projection)."""
+    return with_quality_cols(docs.select("doc_id", "text")).select(
+        "doc_id", "n_tokens", "stopword_ratio", "punct_ratio", "quality_ok"
     )
 
 

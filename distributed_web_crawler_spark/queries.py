@@ -758,8 +758,15 @@ def q_clean_corpus_stats(spark, sf_dir):
     cleaning job (each stage is an operator tested on its own)."""
     docs = _t(spark, sf_dir, "documents")
     keepers = D.exact_dedup(docs).select(F.col("keeper_id").alias("doc_id"))
-    q = T.quality_score(docs).filter(F.col("quality_ok"))
-    kept = docs.join(keepers, "doc_id").join(q.select("doc_id", "n_tokens"), "doc_id")
+    # r9b (guide §1.2): the quality gate is a narrow per-row projection of
+    # docs, so gating in place (with_quality_cols) drops the former
+    # docs ⋈ quality doc_id self-join — one join (keepers) remains; same
+    # rows (doc_id is unique, the gate is 1:1), same n_tokens values
+    kept = (
+        T.with_quality_cols(docs)
+        .filter(F.col("quality_ok"))
+        .join(keepers, "doc_id")
+    )
     return kept.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
         F.round(F.avg("n_tokens"), 3).alias("avg_tokens"),
