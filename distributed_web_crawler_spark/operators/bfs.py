@@ -26,8 +26,10 @@ def fan_out_edges(edges: DataFrame) -> DataFrame:
     iterative op persists it: a small parquet input arrives as ONE split,
     which would serialize every downstream probe/join onto one task. The
     edge-frame sibling of dedup.fan_out (at 100 TB real files split by
-    maxPartitionBytes and this exchange is noise). Used by bfs, pagerank,
-    and hits — one copy of the policy."""
+    maxPartitionBytes and this exchange is noise). Used by bfs, whose
+    broadcast-probe rounds never join the edge cache by key; the
+    iterative rank ops (pagerank, hits) instead repartition their caches
+    ON the join key so iteration joins move nothing (r9c)."""
     return edges.repartition(edges.sparkSession.sparkContext.defaultParallelism)
 
 

@@ -35,7 +35,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from .bfs import IterationState, fan_out_edges
+from .bfs import IterationState
 
 
 def hits(edges: DataFrame, n_iters: int = 2, checkpoint_every: int = 5) -> DataFrame:
@@ -48,16 +48,30 @@ def hits(edges: DataFrame, n_iters: int = 2, checkpoint_every: int = 5) -> DataF
     absent from either frame has score 0 and contributes 0 to every
     downstream sum, so joining the full node set per step (the oracle's
     rendering) is algebraically redundant; nodes enter once, in the final
-    projection. hub_0 ≡ 1 makes the first inflow the plain in-degree."""
-    edges = fan_out_edges(edges).persist()
-    nodes = _node_set(edges).persist()
-    if nodes.count() == 0:  # materializes both persisted frames
-        edges.unpersist()
-        nodes.unpersist()
+    projection. hub_0 ≡ 1 makes the first inflow the plain in-degree.
+
+    r9c (guide §2.1): the flat path persists TWO edge caches, one
+    repartitioned by src and one by dst — the in-memory mirror of the
+    dual-bucketed disk layout. The former single round-robin cache
+    forced a 12M-row edge-side Exchange inside EVERY iteration join
+    (by src for the inflow step, by dst for the outflow step); with the
+    dual caches each join finds its edge side already clustered on the
+    join key (and the score side arrives co-partitioned from the
+    previous aggregate), so the only data-sized move per step is the
+    aggregate's own exchange. Values are unchanged — the iteration is
+    integer-exact, so row order cannot change a bit."""
+    p = edges.sparkSession.sparkContext.defaultParallelism
+    raw = edges.select("src", "dst")
+    edges_src = raw.repartition(p, "src").persist()
+    edges_dst = raw.repartition(p, "dst").persist()
+    nodes = _node_set(edges_src).persist()
+    if nodes.count() == 0:  # materializes the src cache + nodes
+        for f in (edges_src, edges_dst, nodes):
+            f.unpersist()
         return edges.sparkSession.createDataFrame([], "url string, hub double, auth double")
-    out = _iterate(nodes, edges, edges, n_iters, checkpoint_every)
-    edges.unpersist()
-    nodes.unpersist()
+    out = _iterate(nodes, edges_src, edges_dst, n_iters, checkpoint_every)
+    for f in (edges_src, edges_dst, nodes):
+        f.unpersist()
     return out
 
 

@@ -24,9 +24,13 @@ edges out as a parquet table bucketed AND sorted by src, and
 join plan scans it with ``Bucketed: true`` and NO edge-side Exchange or
 Sort (machine-asserted in tests/test_pagerank_bucketed.py and
 scripts/explain_audit.py, the same treatment ann_topk_partitioned got
-for its partition-pruning claim). The out-degree table rides inside
-the same persisted edge projection (degree join, broadcastable when the
-host graph is small). Iteration state is one (dst, inflow)
+for its partition-pruning claim). The out-degree weight w = 1/outdeg
+lives on the O(nodes) SCORE side (r9c): the flat path caches raw
+(src, dst) pairs repartitioned by src and derives (src, w) with an
+exchange-free aggregate over that cache; the bucketed path lifts the
+table's w column the same way — so the per-edge join rows carry no w
+and the per-edge multiply becomes an O(nodes) multiply. Iteration
+state is one (dst, inflow)
 SUPPORT-SET frame (r9b: rank = base + d·inflow is a pure per-row
 function of it, so no full (node, rank) frame is ever assembled inside
 the loop — nodes join once, in the final projection), persisted per
@@ -52,70 +56,84 @@ def pagerank(
     contribute multiplicity, matching the SQL oracle). Returns
     (url string, rank double) for every node, rank UNROUNDED — callers
     compare/rank on a rounded projection."""
-    # r9 (guide §1.2 "fewer passes"): contribution edges are built FIRST —
-    # one src exchange with the degree folded in as a window count (see
-    # contrib_edges_of) — and the node set derives from the cached contrib
-    # frame, so the old three full passes (edges cache materialization,
-    # deg-join contrib build, node distinct over the edges cache) collapse
-    # to one contrib pass + one cache-read distinct. Same rows, same w.
-    contrib_edges = contrib_edges_of(edges).persist()
+    # r9c (guide §2.1/§2.3): the edge cache is the RAW (src, dst) pairs
+    # repartitioned by src — w moves to the O(nodes) score side (see
+    # iteration_scores), so (a) the former per-edge window that attached w
+    # needed an exchange AND a 12M-row SORT, both gone (the repartition is
+    # the same exchange, unsorted); (b) the cache drops the w column
+    # (~33% fewer bytes); (c) every iteration's big join finds BOTH sides
+    # already partitioned by src (the cache by construction, the scores
+    # frame because it derives from the src-keyed degree aggregate), so
+    # the only data-sized move per iteration is the dst aggregate's
+    # exchange. w = 1.0/count(*) per src is the identical double the
+    # window computed.
+    p = edges.sparkSession.sparkContext.defaultParallelism
+    e = edges.select("src", "dst").repartition(p, "src").persist()
+    wframe = (
+        e.groupBy("src").agg((F.lit(1.0) / F.count("*")).alias("w")).persist()
+    )
     nodes = (
-        contrib_edges.select(F.col("src").alias("url"))
-        .unionByName(contrib_edges.select(F.col("dst").alias("url")))
+        e.select(F.col("src").alias("url"))
+        .unionByName(e.select(F.col("dst").alias("url")))
         .distinct()
         .persist()
     )
-    n = nodes.count()  # materializes both persisted frames
+    n = nodes.count()  # materializes the edge cache + nodes
     if n == 0:
-        nodes.unpersist()
-        contrib_edges.unpersist()
+        for f in (nodes, wframe, e):
+            f.unpersist()
         return edges.sparkSession.createDataFrame([], "url string, rank double")
 
-    out = _power_iterate(nodes, contrib_edges, n, n_iters, damping, checkpoint_every)
-    nodes.unpersist()
-    contrib_edges.unpersist()
+    out = _power_iterate(nodes, e, wframe, n, n_iters, damping, checkpoint_every)
+    for f in (nodes, wframe, e):
+        f.unpersist()
     return out
 
 
-def iteration_contribs(
-    contrib_edges: DataFrame, inflow: DataFrame, base: float, damping: float
+def iteration_scores(
+    wframe: DataFrame, inflow: DataFrame, base: float, damping: float
 ) -> DataFrame:
-    """ONE power-iteration inflow from the PREVIOUS step's inflow
-    support set: contribution edges ⟕ inflow (by src), aggregated by dst.
-    Split out so plan audits can assert the join shape against a bucketed
-    edge layout without running a full pagerank.
+    """(src, rankw = rank·w) for every src with out-edges, from the
+    PREVIOUS step's inflow support set (r9b: rank_t(u) =
+    base + damping·inflow_t(u) is a pure per-row function of the inflow —
+    inflow absent ⇔ no in-edges ⇔ exactly 0 — so the iteration never
+    assembles a full (node, rank) frame; nodes enter once, in the final
+    projection, the same support-set discipline hits() has used since
+    r8). rankw is the identical double product rank·w the per-edge sum
+    used to evaluate, just computed once per SRC instead of once per
+    edge (r9c, guide §2.3: O(nodes) multiplies instead of O(edges), and
+    the big join streams 16-byte (src, dst) rows with no w column).
+    Both inputs are keyed by the same src hash (wframe from the degree
+    aggregate, inflow from the previous dst aggregate), so this join
+    moves nothing data-sized."""
+    rank = F.lit(base) + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0))
+    return wframe.join(
+        inflow.withColumnRenamed("dst", "src").hint("shuffle_hash"), "src", "left"
+    ).select("src", (rank * F.col("w")).alias("rankw"))
 
-    r9 (guide §3.1 "pick the strategy deliberately"): the inflow side is
+
+def iteration_contribs(edges: DataFrame, scores: DataFrame) -> DataFrame:
+    """ONE power-iteration inflow: raw (src, dst) edges ⋈ (src, rankw)
+    scores, summed by dst. Split out so plan audits can assert the join
+    shape against a bucketed edge layout without running a full pagerank.
+
+    r9 (guide §3.1 "pick the strategy deliberately"): the score side is
     hinted SHUFFLE_HASH — the planner's default sort-merge join re-SORTS
     the O(edges) side every iteration (the bucketed layout only removes
     its Exchange, not the sort, since bucketedTableScan.outputOrdering is
-    off), while a shuffled-hash join builds on the O(nodes) inflow side
-    (bounded per partition) and streams edges with no sort at all.
-
-    r9b (guide §2.1 "remove shuffles outright"): the iteration carries
-    only the inflow SUPPORT SET (dst, inflow) — never a full (node, rank)
-    frame. rank_t(u) = base + damping·inflow_t(u) is a pure per-row
-    function of the inflow (inflow absent ⇔ no in-edges ⇔ exactly 0), so
-    it is computed INLINE on the join output with the identical double
-    expression the former rank-assembly join used (base + d·coalesce(x,0),
-    then ·w) — same terms, bit-for-bit, in whatever per-dst order the
-    shuffle delivers (the same accepted association class as before; the
-    oracle rounds at 6 dp over ~1e-15 relative noise). The former
-    per-iteration `nodes ⟕ contribs` shuffled-hash join — one O(nodes)
-    join + two exchanges + a persisted O(nodes) generation PER STEP — is
-    gone; nodes enter once, in the final projection (the same support-set
-    discipline hits() has used since r8)."""
-    rank = F.lit(base) + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0))
+    off), while a shuffled-hash join builds on the O(nodes) score side
+    (bounded per partition) and streams edges with no sort at all. The
+    join is INNER: every edge src is in the degree frame by construction,
+    and a src absent from the inflow already got its base rank inside
+    iteration_scores."""
     return (
-        contrib_edges.join(
-            inflow.withColumnRenamed("dst", "src").hint("shuffle_hash"), "src", "left"
-        )
+        edges.join(scores.hint("shuffle_hash"), "src")
         .groupBy("dst")
-        .agg(F.sum(rank * F.col("w")).alias("inflow"))
+        .agg(F.sum("rankw").alias("inflow"))
     )
 
 
-def _power_iterate(nodes, contrib_edges, n, n_iters, damping, checkpoint_every):
+def _power_iterate(nodes, edges, wframe, n, n_iters, damping, checkpoint_every):
     if n_iters < 1:
         # inflow would stay None and crash the final projection with a
         # bare AttributeError; fail with the actual contract (same guard
@@ -126,15 +144,15 @@ def _power_iterate(nodes, contrib_edges, n, n_iters, damping, checkpoint_every):
     inflow = None
     for it in range(1, n_iters + 1):
         if it == 1:
-            # rank_0 ≡ 1/n: the first inflow needs no join at all — it is
-            # a plain aggregate over the cached contribution edges, with
-            # the same per-edge term (1/n)·w the former rank_0-join summed
-            inflow = contrib_edges.groupBy("dst").agg(
-                F.sum(F.lit(1.0 / n) * F.col("w")).alias("inflow")
+            # rank_0 ≡ 1/n: no inflow frame yet — the first scores are a
+            # plain projection of the degree frame, with the same
+            # per-term product (1/n)·w the former rank_0 join summed
+            scores = wframe.select(
+                "src", (F.lit(1.0 / n) * F.col("w")).alias("rankw")
             )
         else:
-            inflow = iteration_contribs(contrib_edges, inflow, base, damping)
-        inflow = st.step(inflow, it)
+            scores = iteration_scores(wframe, inflow, base, damping)
+        inflow = st.step(iteration_contribs(edges, scores), it)
     # final projection: the ONE place the full node set is needed —
     # rank = base + d·coalesce(inflow, 0), identical to the expression the
     # per-step rank assembly used to evaluate
@@ -208,18 +226,27 @@ def pagerank_on_table(
     """PageRank over a pre-bucketed contribution-edge table (see
     write_edges_bucketed). Numerically identical to pagerank() on the
     same graph: same iteration, same float association order per row
-    group (sum order over a dst's inflow is shuffle-determined in both)."""
-    contrib_edges = spark.table(name)
+    group (sum order over a dst's inflow is shuffle-determined in both).
+
+    r9c: the iteration streams only the table's (src, dst) columns (the
+    w column is lifted into the O(nodes) score side by an exchange-free
+    first(w)-per-src aggregate over the bucketed scan — every row of a
+    src carries the identical w the layout writer computed)."""
+    t = spark.table(name)
+    edges = t.select("src", "dst")
+    wframe = t.groupBy("src").agg(F.first("w").alias("w")).persist()
     nodes = (
-        contrib_edges.select(F.col("src").alias("url"))
-        .unionByName(contrib_edges.select(F.col("dst").alias("url")))
+        t.select(F.col("src").alias("url"))
+        .unionByName(t.select(F.col("dst").alias("url")))
         .distinct()
         .persist()
     )
     n = nodes.count()
     if n == 0:
         nodes.unpersist()
+        wframe.unpersist()
         return spark.createDataFrame([], "url string, rank double")
-    out = _power_iterate(nodes, contrib_edges, n, n_iters, damping, checkpoint_every)
+    out = _power_iterate(nodes, edges, wframe, n, n_iters, damping, checkpoint_every)
     nodes.unpersist()
+    wframe.unpersist()
     return out

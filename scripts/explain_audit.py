@@ -309,14 +309,15 @@ def audit_pagerank_bucketed(spark, sections, failures):
     )
     edges = fwd.unionByName(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     write_edges_bucketed(edges, "plan_audit_pr_edges", n_buckets=16, path="/tmp/plan_audit_pr_edges")
-    # localCheckpoint: the inflow frame in a real iteration IS checkpointed
-    # state (IterationState) — a lineage-free Scan ExistingRDD, so the
-    # exchange count below measures only the join/agg, as in production.
-    # r9b: the iteration consumes the previous step's inflow SUPPORT SET
-    # (dst, inflow); rank = base + d·inflow is computed inline on the join
-    inflow = (
-        edges.select(F.col("dst")).distinct()
-        .select("dst", F.lit(0.1).alias("inflow"))
+    # localCheckpoint: the score frame in a real iteration derives from
+    # checkpointed state (IterationState) — a lineage-free Scan
+    # ExistingRDD, so the exchange count below measures only the
+    # join/agg, as in production. r9c: the iteration join consumes the
+    # per-src (src, rankw = rank·w) scores built by iteration_scores;
+    # the edge side streams raw (src, dst) pairs
+    scores = (
+        edges.select(F.col("src")).distinct()
+        .select("src", F.lit(0.1).alias("rankw"))
         .localCheckpoint()
     )
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
@@ -324,7 +325,7 @@ def audit_pagerank_bucketed(spark, sections, failures):
     try:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
-        df = iteration_contribs(spark.table("plan_audit_pr_edges"), inflow, 0.00375, 0.85)
+        df = iteration_contribs(spark.table("plan_audit_pr_edges"), scores)
         plan = plan_of(df)
         raw = df._jdf.queryExecution().executedPlan().toString()
     finally:

@@ -59,24 +59,31 @@ def test_empty_edges(spark):
     assert out.columns == ["url", "rank"]
 
 
-def test_iteration_contribs_scores_absent_sources_at_base(spark):
-    """r9b support-set iteration: a src missing from the inflow frame has
-    no in-edges, so its rank is exactly base — the left join + inline
-    rank expression must reproduce what the old full-rank-frame assembly
-    computed for it."""
+def test_iteration_scores_absent_sources_at_base(spark):
+    """r9b/r9c support-set iteration: a src missing from the inflow frame
+    has no in-edges, so its rank is exactly base — the score-side left
+    join + inline rank·w product must reproduce what the old
+    full-rank-frame assembly computed for it."""
     import pytest
 
     from distributed_web_crawler_spark.operators.pagerank import (
-        contrib_edges_of,
         iteration_contribs,
+        iteration_scores,
         pagerank,
     )
 
     edges = spark.createDataFrame([("a", "b"), ("c", "b")], ["src", "dst"])
-    ce = contrib_edges_of(edges)
+    wframe = spark.createDataFrame([("a", 1.0), ("c", 1.0)], "src string, w double")
     inflow = spark.createDataFrame([("a", 0.2)], "dst string, inflow double")  # c absent
-    out = {r["dst"]: r["inflow"] for r in iteration_contribs(ce, inflow, 0.05, 0.85).collect()}
+    scores = {r["src"]: r["rankw"] for r in iteration_scores(wframe, inflow, 0.05, 0.85).collect()}
     # rank(a) = 0.05 + 0.85*0.2 = 0.22, rank(c) = base = 0.05; both w=1
+    assert abs(scores["a"] - 0.22) < 1e-15 and abs(scores["c"] - 0.05) < 1e-15
+    out = {
+        r["dst"]: r["inflow"]
+        for r in iteration_contribs(
+            edges, iteration_scores(wframe, inflow, 0.05, 0.85)
+        ).collect()
+    }
     assert abs(out["b"] - (0.22 + 0.05)) < 1e-15
     assert set(out) == {"b"}
 

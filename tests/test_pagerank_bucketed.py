@@ -31,10 +31,11 @@ def _plan(df) -> str:
 def test_bucketed_iteration_has_no_edge_side_exchange(spark, tmp_path):
     edges = _edges(spark)
     write_edges_bucketed(edges, "pr_edges_plan", n_buckets=N_BUCKETS, path=str(tmp_path / "t"))
-    # r9b: the iteration consumes the previous step's inflow SUPPORT SET
-    # (dst, inflow), not a full rank frame — rank is computed inline
-    inflow = spark.createDataFrame(
-        [(f"n{i}", 1.0 / 40) for i in range(40)], "dst string, inflow double"
+    # r9c: the iteration join consumes the per-src score frame
+    # (src, rankw = rank·w) built by iteration_scores — the edge side is
+    # raw (src, dst) pairs with no w column
+    scores = spark.createDataFrame(
+        [(f"n{i}", 1.0 / 40) for i in range(40)], "src string, rankw double"
     )
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     old_ord = spark.conf.get("spark.sql.legacy.bucketedTableScan.outputOrdering", "false")
@@ -45,8 +46,8 @@ def test_bucketed_iteration_has_no_edge_side_exchange(spark, tmp_path):
         # sortBy metadata (off by default since 3.0 — costs a listing)
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
-        bucketed = _plan(iteration_contribs(spark.table("pr_edges_plan"), inflow, 0.00375, 0.85))
-        flat = _plan(iteration_contribs(contrib_edges_of(edges), inflow, 0.00375, 0.85))
+        bucketed = _plan(iteration_contribs(spark.table("pr_edges_plan"), scores))
+        flat = _plan(iteration_contribs(contrib_edges_of(edges), scores))
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", old_ord)
