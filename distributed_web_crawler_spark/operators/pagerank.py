@@ -169,15 +169,14 @@ def _power_iterate(nodes, edges, wframe, n, n_iters, damping, checkpoint_every):
 
 
 def contrib_edges_of(edges: DataFrame) -> DataFrame:
-    """(src, dst, w=1/outdeg(src)) — the projection every iteration joins.
-    Built once per graph; at scale this is what gets written bucketed.
-
-    r9 (guide §2.4 "share one exchange"): the degree folds in as a window
-    count over ONE src exchange — the former groupBy+join shape moved the
-    edge set through an exchange AND a join against the degree aggregate
-    (two passes); the window needs the same src clustering the downstream
-    bucketed layout wants anyway, and 1.0/count(*) is the identical
-    double for any evaluation order (integer count)."""
+    """(src, dst, w=1/outdeg(src)) — the LAYOUT projection
+    write_edges_bucketed persists (one-time job; the window's src
+    clustering is what the bucketed write wants anyway, and
+    1.0/count(*) is the identical double for any evaluation order).
+    Since r9c the in-memory iteration no longer uses this shape — it
+    streams raw (src, dst) pairs and lifts w to the score side — but the
+    on-disk table keeps the w column so a single layout serves both this
+    engine and plain contribution-join consumers."""
     from pyspark.sql import Window
 
     w = Window.partitionBy("src")
